@@ -1,0 +1,100 @@
+"""OBJ loader + scene compilation tests."""
+
+import numpy as np
+
+from tpu_raytracer.scene import (
+    Material,
+    MeshInstance,
+    MeshPrimitive,
+    Scene,
+    SceneArrays,
+    objloader,
+    procgen,
+)
+
+
+def build_two_instance_scene():
+    scene = Scene()
+    scene.add_material(Material(albedo=(0.1, 0.2, 0.9)))
+    tex = Material()
+    tex.set_texture(procgen.checkerboard_texture(64, 8))
+    scene.add_material(tex)
+    cube = objloader.loads(procgen.cube_obj())
+    board = objloader.loads(procgen.board_obj())
+    scene.add_mesh(cube)
+    scene.add_mesh(board)
+    scene.add_mesh_instance(MeshInstance(0, 0))
+    inst = MeshInstance(1, 1)
+    inst.pose = np.array([-0.6, 1.48, 0.73, 0, 0, 0], np.float32)
+    scene.add_mesh_instance(inst)
+    return scene
+
+
+def test_cube_obj_parses_to_12_triangles():
+    mesh = objloader.loads(procgen.cube_obj())
+    assert mesh.num_triangles == 12
+    # winding normals are unit and axis-aligned for a cube
+    np.testing.assert_allclose(np.linalg.norm(mesh.normal, axis=1), 1.0, atol=1e-5)
+    assert (np.abs(np.abs(mesh.normal).max(axis=1) - 1.0) < 1e-5).all()
+
+
+def test_fan_triangulation_counts():
+    # an n-gon face fans into n-2 triangles (OBJLoader.hpp:139)
+    obj = "v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\nv -1 0.5 0\nf 1 2 3 4 5\n"
+    v0, v1, v2, *_ = objloader.parse_obj(obj)
+    assert len(v0) == 3
+    np.testing.assert_array_equal(v0[0], v0[1])  # fan root shared
+
+
+def test_uv_attachment():
+    mesh = objloader.loads(procgen.board_obj())
+    assert mesh.num_triangles == 2
+    uvs = np.stack([mesh.uv0, mesh.uv1, mesh.uv2])
+    assert uvs.min() == 0.0 and uvs.max() == 1.0
+
+
+def test_scene_compiles_with_offsets():
+    scene = build_two_instance_scene()
+    arrays = scene.compile()
+    assert arrays.num_triangles == 14
+    assert arrays.num_instances == 2
+    # mesh 1's root node references offset nodes/triangles
+    assert int(arrays.mesh_root[1]) == len(scene.meshes[0].bvh.child_a)
+    tri_mesh = np.asarray(arrays.tri_mesh)
+    assert (tri_mesh[:12] == 0).all() and (tri_mesh[12:] == 1).all()
+    # texture atlas packed
+    assert int(arrays.mat_tex_start[1]) == 0
+    assert int(arrays.mat_tex_w[1]) == 64
+    assert arrays.tex_atlas.shape[0] == 64 * 64
+    assert int(arrays.mat_tex_start[0]) == -1
+
+
+def test_scene_roundtrips_through_save_load(tmp_path):
+    arrays = build_two_instance_scene().compile()
+    fp = str(tmp_path / "scene.npz")
+    arrays.save(fp)
+    loaded = SceneArrays.load(fp)
+    np.testing.assert_array_equal(loaded.tri_v0, arrays.tri_v0)
+    np.testing.assert_array_equal(loaded.node_child_a, arrays.node_child_a)
+    np.testing.assert_array_equal(loaded.tex_atlas, arrays.tex_atlas)
+
+
+def test_update_instance_matches_recompile():
+    scene = build_two_instance_scene()
+    arrays = scene.compile()
+    moved = MeshInstance(0, 0)
+    moved.pose = np.array([1.0, 2.0, 3.0, 0.1, 0.2, 0.3], np.float32)
+    updated = arrays.update_instance(0, moved)
+    scene.update_mesh_instance(0, moved)
+    recompiled = scene.compile()
+    np.testing.assert_allclose(updated.inst_pose, recompiled.inst_pose, atol=1e-6)
+    np.testing.assert_allclose(
+        updated.inst_inv_pose, recompiled.inst_inv_pose, atol=1e-6
+    )
+
+
+def test_mesh_from_triangles_without_uv():
+    v0, v1, v2 = procgen.icosphere(1)
+    mesh = MeshPrimitive.from_triangles(v0, v1, v2)
+    assert mesh.num_triangles == 80
+    assert mesh.uv0.shape == (80, 2)

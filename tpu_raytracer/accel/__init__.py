@@ -1,0 +1,3 @@
+from .bvh import BVHArrays, build_bvh
+
+__all__ = ["BVHArrays", "build_bvh"]

@@ -88,7 +88,8 @@ def _eval_axis(cent_ax, tmin, tmax, node_min_ax, node_max_ax, tests_per_axis):
         sel = mask[:, :, None]
         mn = np.min(np.where(sel, tmin[None], _INF), axis=1)
         mx = np.max(np.where(sel, tmax[None], -_INF), axis=1)
-        cost = _half_area(mn, mx) * count
+        with np.errstate(invalid="ignore"):  # empty side: inf-box * 0
+            cost = _half_area(mn, mx) * count
         return np.where(count == 0, _INF, cost)
 
     cost = side_cost(in_left) + side_cost(~in_left)

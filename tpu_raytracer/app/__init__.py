@@ -1,0 +1,3 @@
+from .driver import build_demo_scene, run
+
+__all__ = ["build_demo_scene", "run"]

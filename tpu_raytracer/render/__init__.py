@@ -1,0 +1,27 @@
+from .camera import Camera, default_intrinsics, generate_rays
+from .pipeline import RenderConfig, render, render_image
+from .renderer import (
+    Hit,
+    HitAttributes,
+    cast_rays_brute,
+    cast_rays_bvh,
+    get_cast_fn,
+    hit_attributes,
+)
+from .shade import shade_primary
+
+__all__ = [
+    "Camera",
+    "Hit",
+    "HitAttributes",
+    "RenderConfig",
+    "cast_rays_brute",
+    "cast_rays_bvh",
+    "default_intrinsics",
+    "generate_rays",
+    "get_cast_fn",
+    "hit_attributes",
+    "render",
+    "render_image",
+    "shade_primary",
+]

@@ -1,0 +1,97 @@
+"""Ray/triangle and ray/AABB intersection math, shared by every backend
+(brute force, XLA BVH, Pallas packet kernel) so they agree bit-for-bit.
+
+Semantics match the reference exactly:
+  * two-step triangle test — plane hit point first
+    (TrianglePrimitive.hpp:62-79), then barycentric inside test with UV
+    interpolation w*uv0 + v*uv1 + u*uv2 (TrianglePrimitive.hpp:151-185).
+    NOT Moller-Trumbore, by design: the hit POINT (not t) is what the
+    instance transform maps back to world space (raycast.cu:98-104).
+  * slab AABB test returning entry distance or +inf
+    (BVHTree.hpp:40-54), using the reciprocal direction (Ray.hpp:20) so
+    zero components give +/-inf that min/max handle.
+
+All functions broadcast: rays may be [..., 3], triangles [..., 3]; any
+mutually broadcastable combination works (e.g. rays [R, 1, 3] against
+triangles [1, T, 3] gives [R, T] results).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.vecmath import FLT_MAX, dot
+
+PARALLEL_EPS = jnp.float32(1e-6)
+
+
+def ray_plane_hit(origin, direction, tv0, normal):
+    """Plane-hit step (TrianglePrimitive.hpp:62-79).
+
+    Returns (t [...], point [..., 3], valid [...]): the ray parameter
+    and hit point on the triangle's plane; valid=False where the ray is
+    parallel (|denom| < 1e-6) or the hit is behind the origin (t < 0).
+
+    Distance note: because instance object space is reached by a
+    rotation (isometry) followed by an inv_scale that the world mapping
+    multiplies back out, ``t`` along the object-space direction of a
+    unit world ray EQUALS the world-space hit distance the reference
+    computes by round-tripping the hit point through the instance
+    transform (raycast.cu:98-104) — so ``t`` is used directly as the
+    nearest-hit key everywhere.
+    """
+    denom = dot(direction, normal)
+    safe_denom = jnp.where(jnp.abs(denom) < PARALLEL_EPS, jnp.float32(1.0), denom)
+    t = dot(tv0 - origin, normal) / safe_denom
+    valid = (jnp.abs(denom) >= PARALLEL_EPS) & (t >= 0.0)
+    point = origin + t[..., None] * direction
+    return t, point, valid
+
+
+def point_in_triangle_uv(point, tv0, tv1, tv2, uv0, uv1, uv2):
+    """Barycentric inside test + UV interpolation
+    (TrianglePrimitive.hpp:151-185).
+
+    Returns (uv [..., 2], inside [...]). Matches the reference's basis
+    (v0 = C - A, v1 = B - A) and its weight order w*uv0 + v*uv1 + u*uv2
+    (TrianglePrimitive.hpp:179).
+    """
+    e0 = tv2 - tv0
+    e1 = tv1 - tv0
+    e2 = point - tv0
+    dot00 = dot(e0, e0)
+    dot01 = dot(e0, e1)
+    dot02 = dot(e0, e2)
+    dot11 = dot(e1, e1)
+    dot12 = dot(e1, e2)
+    inv_denom = 1.0 / (dot00 * dot11 - dot01 * dot01)
+    u = (dot11 * dot02 - dot01 * dot12) * inv_denom
+    v = (dot00 * dot12 - dot01 * dot02) * inv_denom
+    inside = (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+    w = 1.0 - u - v
+    uv = (
+        w[..., None] * uv0 + v[..., None] * uv1 + u[..., None] * uv2
+    )
+    return uv, inside
+
+
+def ray_aabb_entry(origin, inv_direction, box_min, box_max):
+    """Slab test: entry distance to an AABB or +inf on miss
+    (BVHTree.hpp:40-54). ``hit = far >= near and far > 0``; a ray whose
+    origin is inside returns its (negative) entry distance, like the
+    reference."""
+    tmin = (box_min - origin) * inv_direction
+    tmax = (box_max - origin) * inv_direction
+    t1 = jnp.minimum(tmin, tmax)
+    t2 = jnp.maximum(tmin, tmax)
+    far = jnp.min(t2, axis=-1)
+    near = jnp.max(t1, axis=-1)
+    hit = (far >= near) & (far > 0.0)
+    return jnp.where(hit, near, FLT_MAX)
+
+
+def safe_reciprocal(direction):
+    """Componentwise 1/d (Ray.hpp:17-22). Zero components become +/-inf,
+    which the slab min/max absorbs — matching CUDA float semantics."""
+    return 1.0 / direction

@@ -1,0 +1,64 @@
+"""Top-level render pipeline: raygen -> cast -> attributes -> shade.
+
+The jit boundary is ``render_image``: scene arrays and camera pose are
+runtime arguments (animating the camera or instances never recompiles,
+like the reference where pose is a kernel argument, Camera.cu:29-31);
+image size, backend and lighting mode are static config.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..scene.scene import SceneArrays
+from .camera import Camera, generate_rays
+from .renderer import get_cast_fn, hit_attributes
+from .shade import DEFAULT_LIGHT_DIRECTION, shade_primary
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static render options (hashable -> usable as a jit static arg)."""
+
+    width: int
+    height: int
+    backend: str = "bvh"  # brute | bvh | pallas
+    lighting: str = "flat"  # flat | lambert | lambert_shadow
+    light_direction: tuple = DEFAULT_LIGHT_DIRECTION
+    exact_math: bool = True  # False = reference Q_rsqrt normalize parity
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def render_image(
+    config: RenderConfig,
+    scene: SceneArrays,
+    K_inv: jax.Array,
+    D: jax.Array,
+    pose: jax.Array,
+    inv_pose: jax.Array,
+) -> jax.Array:
+    """Render one frame -> uint8 [H, W, 3] (reference channel order)."""
+    origin, directions = generate_rays(
+        config.width, config.height, K_inv, D, pose, inv_pose,
+        exact=config.exact_math,
+    )
+    cast = get_cast_fn(config.backend)
+    hit = cast(scene, origin, directions)
+    attrs = hit_attributes(scene, origin, directions, hit, exact=config.exact_math)
+    return shade_primary(
+        scene, attrs, config.light_direction, config.lighting,
+        exact=config.exact_math,
+    )
+
+
+def render(camera: Camera, scene: SceneArrays, config: RenderConfig | None = None, **kw) -> jax.Array:
+    """Convenience: render with a host Camera (computes inv_pose on the
+    host per call, Camera.cu:21)."""
+    if config is None:
+        config = RenderConfig(width=camera.width, height=camera.height, **kw)
+    p = camera.ray_params()
+    return render_image(config, scene, p["K_inv"], p["D"], p["pose"], p["inv_pose"])

@@ -1,0 +1,271 @@
+"""Nearest-hit queries + primary render pipeline (XLA backends).
+
+The reference's ``cast_ray`` megakernel inner loop (raycast.cu:21-142)
+becomes pure batched stages here. Every backend returns the same compact
+hit record — ``(t, tri_idx, inst_idx)`` per ray — and the shared
+``hit_attributes`` stage reconstructs location/normal/uv/material for
+shading. Backends:
+
+  * ``cast_rays_brute``: dense all-triangles test — the oracle renderer
+    (SURVEY.md §4 test strategy item 5). O(rays x tris), test-only.
+  * ``cast_rays_bvh``: per-ray short-stack BVH walk (vmapped
+    lax.while_loop) with the reference's ordered near-child-first push
+    and t-pruning (raycast.cu:54-138). Runs anywhere; the Pallas packet
+    kernel (kernels/traversal.py) is the TPU hot path.
+
+Instance handling matches raycast.cu:26-51: rays are transformed into
+object space with precomputed inverse transforms, hit points are mapped
+back to world space by scale + inv_pose, and distances compared in
+world units. The normal transform uses the reference's formula
+(normal * scale, raycast.cu:115-122); see shade.py for notes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import transforms as T
+from ..core.vecmath import FLT_MAX, dot, magnitude, normalize
+from ..scene.scene import SceneArrays
+from .intersect import (
+    point_in_triangle_uv,
+    ray_aabb_entry,
+    ray_plane_hit,
+    safe_reciprocal,
+)
+
+STACK_SIZE = 40  # max BVH depth is 32 (MeshPrimitive.cpp:54); pops push <= +1
+
+
+class Hit(NamedTuple):
+    """Compact per-ray hit record. ``t`` is world-space distance
+    (FLT_MAX = miss), indices are -1 on miss."""
+
+    t: jax.Array
+    tri: jax.Array
+    inst: jax.Array
+
+
+def _instance_object_ray(scene: SceneArrays, i, origin, direction):
+    """World ray -> instance object space (raycast.cu:32-51)."""
+    rot = scene.inst_pose[i, 3:6]
+    inv_scale = scene.inst_inv_scale[i]
+    obj_dir = T.apply_euler(rot, direction) * inv_scale
+    obj_org = T.apply_lre(scene.inst_pose[i], origin) * inv_scale
+    return obj_org, obj_dir
+
+
+
+
+# ---------------------------------------------------------------------------
+# Brute-force oracle
+# ---------------------------------------------------------------------------
+
+
+def cast_rays_brute(scene: SceneArrays, origin, directions) -> Hit:
+    """All-triangles nearest hit. ``origin`` broadcasts against
+    ``directions`` ([..., 3] each)."""
+    directions = jnp.asarray(directions, jnp.float32)
+    origin = jnp.broadcast_to(jnp.asarray(origin, jnp.float32), directions.shape)
+    shape = directions.shape[:-1]
+
+    best = Hit(
+        t=jnp.full(shape, FLT_MAX, jnp.float32),
+        tri=jnp.full(shape, -1, jnp.int32),
+        inst=jnp.full(shape, -1, jnp.int32),
+    )
+    tri_ids = jnp.arange(scene.num_triangles, dtype=jnp.int32)
+
+    for i in range(scene.num_instances):
+        obj_org, obj_dir = _instance_object_ray(scene, i, origin, directions)
+        o = obj_org[..., None, :]
+        d = obj_dir[..., None, :]
+        t, point, valid = ray_plane_hit(o, d, scene.tri_v0, scene.tri_normal)
+        _, inside = point_in_triangle_uv(
+            point, scene.tri_v0, scene.tri_v1, scene.tri_v2,
+            scene.tri_uv0, scene.tri_uv1, scene.tri_uv2,
+        )
+        backface = dot(d, scene.tri_normal) < 0.0
+        in_mesh = scene.tri_mesh == scene.inst_mesh[i]
+        mask = valid & inside & backface & in_mesh
+        dist = jnp.where(mask, t, FLT_MAX)
+
+        j = jnp.argmin(dist, axis=-1)
+        dj = jnp.take_along_axis(dist, j[..., None], axis=-1)[..., 0]
+        better = dj < best.t
+        best = Hit(
+            t=jnp.where(better, dj, best.t),
+            tri=jnp.where(better, tri_ids[j], best.tri),
+            inst=jnp.where(better, jnp.int32(i), best.inst),
+        )
+    return best
+
+
+# ---------------------------------------------------------------------------
+# BVH traversal (XLA while_loop, vmapped per ray)
+# ---------------------------------------------------------------------------
+
+
+def _cast_one_bvh(scene: SceneArrays, origin, direction) -> Hit:
+    """Single-ray nearest hit via short-stack BVH walk over every
+    instance (raycast.cu:21-142), written with lax control flow so it
+    vmaps/jits. All scene indexing is dynamic gathers."""
+    best = (jnp.float32(FLT_MAX), jnp.int32(-1), jnp.int32(-1))
+
+    for i in range(scene.num_instances):
+        obj_org, obj_dir = _instance_object_ray(scene, i, origin, direction)
+        inv_dir = safe_reciprocal(obj_dir)
+
+        def leaf_fn(node, carry):
+            t_best, tri_best = carry
+
+            def tri_body(k, c):
+                t_b, tr_b = c
+                t, point, valid = ray_plane_hit(
+                    obj_org, obj_dir, scene.tri_v0[k], scene.tri_normal[k]
+                )
+                _, inside = point_in_triangle_uv(
+                    point,
+                    scene.tri_v0[k], scene.tri_v1[k], scene.tri_v2[k],
+                    scene.tri_uv0[k], scene.tri_uv1[k], scene.tri_uv2[k],
+                )
+                backface = dot(obj_dir, scene.tri_normal[k]) < 0.0
+                ok = valid & inside & backface & (t < t_b)
+                return (
+                    jnp.where(ok, t, t_b),
+                    jnp.where(ok, k, tr_b),
+                )
+
+            start = scene.node_leaf_start[node]
+            count = scene.node_leaf_count[node]
+            return jax.lax.fori_loop(start, start + count, tri_body, (t_best, tri_best))
+
+        def step(carry):
+            sp, stack, t_best, tri_best = carry
+            sp = sp - 1
+            node = stack[sp]
+            ca = scene.node_child_a[node]
+            cb = scene.node_child_b[node]
+            is_leaf = ca < 0
+
+            # Internal: ordered push, near child popped first, both
+            # pruned against t_best (raycast.cu:69-79).
+            da = ray_aabb_entry(obj_org, inv_dir, scene.node_min[ca], scene.node_max[ca])
+            db = ray_aabb_entry(obj_org, inv_dir, scene.node_min[cb], scene.node_max[cb])
+            a_near = da < db
+            first = jnp.where(a_near, cb, ca)   # pushed first (far)
+            d_first = jnp.where(a_near, db, da)
+            second = jnp.where(a_near, ca, cb)  # pushed last (near)
+            d_second = jnp.where(a_near, da, db)
+
+            push1 = (~is_leaf) & (d_first < t_best)
+            stack = stack.at[sp].set(jnp.where(push1, first, stack[sp]))
+            sp1 = sp + push1.astype(jnp.int32)
+            push2 = (~is_leaf) & (d_second < t_best)
+            stack = stack.at[sp1].set(jnp.where(push2, second, stack[sp1]))
+            sp2 = sp1 + push2.astype(jnp.int32)
+
+            t_leaf, tri_leaf = jax.lax.cond(
+                is_leaf, leaf_fn, lambda n, c: c, node, (t_best, tri_best)
+            )
+            return sp2, stack, t_leaf, tri_leaf
+
+        stack0 = jnp.zeros(STACK_SIZE, jnp.int32).at[0].set(scene.mesh_root[scene.inst_mesh[i]])
+        carry = (jnp.int32(1), stack0, best[0], best[1])
+        carry = jax.lax.while_loop(lambda c: c[0] > 0, step, carry)
+        _, _, t_new, tri_new = carry
+        improved = t_new < best[0]
+        best = (
+            t_new,
+            jnp.where(improved, tri_new, best[1]),
+            jnp.where(improved, jnp.int32(i), best[2]),
+        )
+    return Hit(*best)
+
+
+def cast_rays_bvh(scene: SceneArrays, origin, directions) -> Hit:
+    """Batched BVH nearest-hit: vmap of the single-ray walk."""
+    directions = jnp.asarray(directions, jnp.float32)
+    origin = jnp.broadcast_to(jnp.asarray(origin, jnp.float32), directions.shape)
+    shape = directions.shape[:-1]
+    flat_o = origin.reshape(-1, 3)
+    flat_d = directions.reshape(-1, 3)
+    hit = jax.vmap(lambda o, d: _cast_one_bvh(scene, o, d))(flat_o, flat_d)
+    return Hit(*(x.reshape(shape) for x in hit))
+
+
+# ---------------------------------------------------------------------------
+# Hit attribute reconstruction (shared by all backends)
+# ---------------------------------------------------------------------------
+
+
+class HitAttributes(NamedTuple):
+    hit: jax.Array  # [...] bool
+    t: jax.Array  # [...] f32 world distance
+    location: jax.Array  # [..., 3] world hit point
+    normal: jax.Array  # [..., 3] world normal (unit)
+    uv: jax.Array  # [..., 2]
+    material: jax.Array  # [...] i32 (clamped to 0 on miss)
+    inst: jax.Array  # [...] i32
+
+
+def hit_attributes(
+    scene: SceneArrays, origin, directions, hit: Hit, exact: bool = True
+) -> HitAttributes:
+    """Reconstruct shading inputs from (t, tri, inst): re-runs the
+    plane/barycentric math once for the selected triangle per ray and
+    applies the world-space transforms of raycast.cu:98-124."""
+    directions = jnp.asarray(directions, jnp.float32)
+    origin = jnp.broadcast_to(jnp.asarray(origin, jnp.float32), directions.shape)
+    ok = hit.t < FLT_MAX
+    tri = jnp.maximum(hit.tri, 0)
+    inst = jnp.maximum(hit.inst, 0)
+
+    inst_pose = scene.inst_pose[inst]
+    inst_inv_pose = scene.inst_inv_pose[inst]
+    scale = scene.inst_scale[inst]
+    inv_scale = scene.inst_inv_scale[inst]
+
+    obj_dir = T.apply_euler(inst_pose[..., 3:6], directions) * inv_scale
+    obj_org = T.apply_lre(inst_pose, origin) * inv_scale
+
+    tv0 = scene.tri_v0[tri]
+    tnormal = scene.tri_normal[tri]
+    _, point, _ = ray_plane_hit(obj_org, obj_dir, tv0, tnormal)
+    uv, _ = point_in_triangle_uv(
+        point, tv0, scene.tri_v1[tri], scene.tri_v2[tri],
+        scene.tri_uv0[tri], scene.tri_uv1[tri], scene.tri_uv2[tri],
+    )
+    location = T.apply_lre(inst_inv_pose, point * scale)
+    # World normal: reference multiplies by scale (raycast.cu:115-122);
+    # correct for uniform scale, preserved for parity.
+    normal = normalize(
+        T.apply_euler(inst_inv_pose[..., 3:6], tnormal) * scale, exact=exact
+    )
+    return HitAttributes(
+        hit=ok,
+        t=hit.t,
+        location=location,
+        normal=normal,
+        uv=uv,
+        material=scene.inst_material[inst],
+        inst=inst,
+    )
+
+
+CAST_FNS = {
+    "brute": cast_rays_brute,
+    "bvh": cast_rays_bvh,
+}
+
+
+def get_cast_fn(backend: str):
+    if backend == "pallas":
+        from ..kernels.traversal import cast_rays_pallas
+
+        return cast_rays_pallas
+    return CAST_FNS[backend]

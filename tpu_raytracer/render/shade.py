@@ -1,0 +1,113 @@
+"""Shading stages (reference: the tail of the render megakernel,
+raycast.cu:208-294).
+
+Exact reference semantics preserved for the parity path:
+  * miss -> sky color (255, 204, 153) in the reference's channel order
+    (raycast.cu:208-216);
+  * textured materials sample nearest-neighbor with v flipped and
+    C-style truncating modulo wrap clamped at 0 (raycast.cu:224-240),
+    scaling by the literal 1/255 constant 0.0039215 (raycast.cu:237);
+  * untextured materials multiply by albedo (raycast.cu:242-245);
+  * illumination forced to 1.0 and clamped to [0.4, 1.0]
+    (raycast.cu:282-290) in ``flat`` mode — ``lambert`` /
+    ``lambert_shadow`` enable the cosine/shadow-ray logic the reference
+    left commented out (raycast.cu:263-287);
+  * final uint8 conversion truncates like the C cast (raycast.cu:292-294).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.vecmath import FLT_MAX, dot, normalize
+from ..scene.scene import SceneArrays
+from .renderer import HitAttributes, get_cast_fn
+
+SKY_COLOR = (255, 204, 153)  # raycast.cu:211-213 (1.0, 0.8, 0.6) * 255
+SHADOW_EPS = jnp.float32(1e-4)  # raycast.cu:259
+DEFAULT_LIGHT_DIRECTION = (-0.2, 0.0, 1.0)  # raycast.cu:249
+
+
+def _c_mod(a: jax.Array, b: jax.Array) -> jax.Array:
+    """C-style truncating integer modulo (negative stays negative), as
+    produced by the reference's ``%`` (raycast.cu:229-230)."""
+    return jnp.where(a >= 0, a % jnp.maximum(b, 1), -((-a) % jnp.maximum(b, 1)))
+
+
+def sample_texture(scene: SceneArrays, material, uv) -> jax.Array:
+    """Nearest-neighbor texture fetch from the flat atlas with the
+    reference's wrap semantics (raycast.cu:224-240). Returns [..., 3]
+    f32 in [0, 1]."""
+    w = scene.mat_tex_w[material]
+    h = scene.mat_tex_h[material]
+    start = scene.mat_tex_start[material]
+    tex_x = (uv[..., 0] * w.astype(jnp.float32)).astype(jnp.int32)
+    tex_y = ((1.0 - uv[..., 1]) * h.astype(jnp.float32)).astype(jnp.int32)
+    tex_x = jnp.maximum(_c_mod(tex_x, w), 0)
+    tex_y = jnp.maximum(_c_mod(tex_y, h), 0)
+    idx = jnp.maximum(start, 0) + tex_y * w + tex_x
+    texel = scene.tex_atlas[jnp.clip(idx, 0, scene.tex_atlas.shape[0] - 1)]
+    return texel.astype(jnp.float32) * jnp.float32(0.0039215)
+
+
+def surface_color(scene: SceneArrays, attrs: HitAttributes) -> jax.Array:
+    """Texture sample where textured, else albedo (raycast.cu:224-245).
+    Multiplied against the ray color (init (1,1,1), Ray.hpp:21)."""
+    textured = scene.mat_tex_start[attrs.material] >= 0
+    tex = sample_texture(scene, attrs.material, attrs.uv)
+    alb = scene.mat_albedo[attrs.material]
+    return jnp.where(textured[..., None], tex, alb)
+
+
+def compute_illumination(
+    scene: SceneArrays,
+    attrs: HitAttributes,
+    light_direction,
+    mode: str,
+    exact: bool = True,
+) -> jax.Array:
+    """Scalar illumination per ray.
+
+    ``flat``: the reference's active path — 1.0 clamped to [0.4, 1.0]
+    (raycast.cu:282-290). ``lambert``: cosine-weighted. ``lambert_shadow``:
+    cosine-weighted with a hard shadow ray toward the directional light —
+    the reference's disabled scaffolding (raycast.cu:263-287) done
+    properly. All modes end with the reference clamp.
+    """
+    light_dir = normalize(jnp.asarray(light_direction, jnp.float32), exact=exact)
+    if mode == "flat":
+        illum = jnp.ones(attrs.t.shape, jnp.float32)
+    else:
+        cos_illum = dot(attrs.normal, light_dir)
+        illum = jnp.maximum(cos_illum, 0.0)
+        if mode == "lambert_shadow":
+            cast = get_cast_fn("bvh")
+            shadow_origin = attrs.location + light_dir * SHADOW_EPS
+            occ = cast(scene, shadow_origin, jnp.broadcast_to(light_dir, attrs.location.shape))
+            lit = occ.t >= FLT_MAX
+            # Shadowed points keep the 0.4*cos ambient floor the
+            # reference sketched (raycast.cu:263-266, 278).
+            illum = jnp.where(lit, cos_illum, 0.4 * cos_illum)
+        elif mode != "lambert":
+            raise ValueError(f"unknown lighting mode: {mode}")
+    illum = jnp.minimum(1.0, illum)  # raycast.cu:289
+    illum = jnp.maximum(0.4, illum)  # raycast.cu:290
+    return illum
+
+
+def shade_primary(
+    scene: SceneArrays,
+    attrs: HitAttributes,
+    light_direction=DEFAULT_LIGHT_DIRECTION,
+    mode: str = "flat",
+    exact: bool = True,
+) -> jax.Array:
+    """Full primary-hit shade -> uint8 image in the reference's channel
+    order. Misses get the sky color (raycast.cu:208-216)."""
+    color = surface_color(scene, attrs)
+    illum = compute_illumination(scene, attrs, light_direction, mode, exact=exact)
+    rgb = illum[..., None] * color * jnp.float32(255.0)
+    shaded = rgb.astype(jnp.uint8)  # C-cast truncation (raycast.cu:292-294)
+    sky = jnp.asarray(SKY_COLOR, jnp.uint8)
+    return jnp.where(attrs.hit[..., None], shaded, sky)

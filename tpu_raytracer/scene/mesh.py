@@ -1,0 +1,95 @@
+"""MeshPrimitive: triangle soup + BVH, host side.
+
+Counterpart of the reference's MeshPrimitive (MeshPrimitive.h:27-43,
+MeshPrimitive.cpp:1-57): owns the triangle arrays and builds a BVH at
+construction (``fill(1, 32)``, MeshPrimitive.cpp:54). Instead of the
+reference's AoS TrianglePrimitive array, triangles live as SoA numpy
+arrays, already REORDERED into BVH-leaf-contiguous order so the device
+arrays slice densely at leaves (SURVEY.md §7 design delta 1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..accel.bvh import BVHArrays, build_bvh
+from ..core.vecmath import q_rsqrt
+
+
+def _normalize_host(v: np.ndarray, exact: bool) -> np.ndarray:
+    sq = np.sum(v * v, axis=-1, keepdims=True).astype(np.float32)
+    if exact:
+        inv = 1.0 / np.sqrt(sq)
+    else:  # reference host code normalizes with Q_rsqrt (utils.hpp:41-47)
+        inv = np.asarray(q_rsqrt(sq))
+    return (v * inv).astype(np.float32)
+
+
+@dataclasses.dataclass
+class MeshPrimitive:
+    """Triangle mesh with per-vertex UVs, face normals, and a built BVH.
+
+    All arrays are in BVH leaf order (``bvh.order`` already applied).
+    """
+
+    v0: np.ndarray  # [T, 3] f32
+    v1: np.ndarray
+    v2: np.ndarray
+    normal: np.ndarray  # [T, 3] f32 face normals
+    uv0: np.ndarray  # [T, 2] f32
+    uv1: np.ndarray
+    uv2: np.ndarray
+    bvh: BVHArrays
+
+    @classmethod
+    def from_triangles(
+        cls,
+        v0,
+        v1,
+        v2,
+        normal=None,
+        uv0=None,
+        uv1=None,
+        uv2=None,
+        max_depth: int = 32,
+        exact_normals: bool = True,
+    ) -> "MeshPrimitive":
+        """Build from raw triangle arrays; computes winding normals when
+        none are given (TrianglePrimitive.hpp:15-23) and builds the BVH
+        (MeshPrimitive.cpp:38-56)."""
+        v0 = np.asarray(v0, np.float32).reshape(-1, 3)
+        v1 = np.asarray(v1, np.float32).reshape(-1, 3)
+        v2 = np.asarray(v2, np.float32).reshape(-1, 3)
+        num = len(v0)
+        if normal is None:
+            normal = _normalize_host(np.cross(v1 - v0, v2 - v0), exact_normals)
+        else:
+            normal = np.asarray(normal, np.float32).reshape(-1, 3)
+        zeros_uv = np.zeros((num, 2), np.float32)
+        uv0 = zeros_uv if uv0 is None else np.asarray(uv0, np.float32).reshape(-1, 2)
+        uv1 = zeros_uv if uv1 is None else np.asarray(uv1, np.float32).reshape(-1, 2)
+        uv2 = zeros_uv if uv2 is None else np.asarray(uv2, np.float32).reshape(-1, 2)
+
+        bvh = build_bvh(v0, v1, v2, max_depth=max_depth)
+        p = bvh.order  # reorder into leaf-contiguous order
+        return cls(
+            v0=v0[p], v1=v1[p], v2=v2[p], normal=normal[p],
+            uv0=uv0[p], uv1=uv1[p], uv2=uv2[p], bvh=bvh,
+        )
+
+    @property
+    def num_triangles(self) -> int:
+        return len(self.v0)
+
+    def print_stats(self) -> None:
+        """BVH diagnostics (BVHTree.hpp:117-172)."""
+        s = self.bvh.stats()
+        print("BVH Stats:")
+        print(f"Number of nodes: {s['num_nodes']}")
+        print(f"Max triangles per node: {s['max_triangles_per_leaf']}")
+        print(f"Min triangles per node: {s['min_triangles_per_leaf']}")
+        print(f"Max depth: {s['max_depth']}")
+        print(f"Number of leaves: {s['num_leaves']}")
+        print(f"Average triangles per leaf: {s['avg_triangles_per_leaf']}")

@@ -1,0 +1,98 @@
+"""Wavefront OBJ loader (reference: CudaRaytracer/OBJLoader.hpp:12-181).
+
+Behavioral parity with the reference parser:
+  * two passes: vertices/normals/texcoords first, faces second
+    (OBJLoader.hpp:36-71, 80-172);
+  * polygon faces are fan-triangulated: (0, i, i+1) for i in 1..n-2
+    (OBJLoader.hpp:139-169);
+  * face normals are RECOMPUTED from winding — normalize(cross(vi-v0,
+    vi1-v0)) — even when vn records exist (the vn-averaging branch is
+    commented out in the reference, OBJLoader.hpp:119-135);
+  * UVs are attached when the face carries vt indices, with the fan's
+    local indexing tex[t0], tex[ti], tex[ti+1] (OBJLoader.hpp:145-159);
+  * a missing file raises (the reference exit(1)s, OBJLoader.hpp:23-27).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .mesh import MeshPrimitive
+
+
+def parse_obj(text: str):
+    """Parse OBJ source text into raw triangle arrays
+    (v0, v1, v2, uv0, uv1, uv2, has_uv)."""
+    vertices: list[list[float]] = []
+    tex_coords: list[list[float]] = []
+
+    tri_v: list[tuple[int, int, int]] = []
+    tri_t: list[tuple[int, int, int] | None] = []
+
+    for line in text.splitlines():
+        tokens = line.split()
+        if not tokens:
+            continue
+        tag = tokens[0]
+        if tag == "v":
+            vertices.append([float(tokens[1]), float(tokens[2]), float(tokens[3])])
+        elif tag == "vt":
+            tex_coords.append([float(tokens[1]), float(tokens[2])])
+        elif tag == "f":
+            v_idx: list[int] = []
+            t_idx: list[int] = []
+            for tok in tokens[1:]:
+                parts = tok.split("/")
+                v_idx.append(int(parts[0]) - 1)
+                if len(parts) > 1 and parts[1] != "":
+                    t_idx.append(int(parts[1]) - 1)
+            for i in range(1, len(v_idx) - 1):
+                tri_v.append((v_idx[0], v_idx[i], v_idx[i + 1]))
+                if t_idx:
+                    tri_t.append((t_idx[0], t_idx[i], t_idx[i + 1]))
+                else:
+                    tri_t.append(None)
+
+    verts = np.asarray(vertices, np.float32).reshape(-1, 3)
+    uvs = (
+        np.asarray(tex_coords, np.float32).reshape(-1, 2)
+        if tex_coords
+        else np.zeros((0, 2), np.float32)
+    )
+    iv = np.asarray(tri_v, np.int64).reshape(-1, 3)
+    v0, v1, v2 = verts[iv[:, 0]], verts[iv[:, 1]], verts[iv[:, 2]]
+
+    has_uv = np.array([t is not None for t in tri_t], bool)
+    uv0 = np.zeros((len(iv), 2), np.float32)
+    uv1 = np.zeros((len(iv), 2), np.float32)
+    uv2 = np.zeros((len(iv), 2), np.float32)
+    if has_uv.any():
+        it = np.asarray([t for t in tri_t if t is not None], np.int64).reshape(-1, 3)
+        uv0[has_uv] = uvs[it[:, 0]]
+        uv1[has_uv] = uvs[it[:, 1]]
+        uv2[has_uv] = uvs[it[:, 2]]
+    return v0, v1, v2, uv0, uv1, uv2, has_uv
+
+
+def load(fp: str, max_depth: int = 32, exact_normals: bool = True) -> MeshPrimitive:
+    """Load an OBJ file into a MeshPrimitive (BVH built in the
+    constructor, like OBJLoader.hpp:177 -> MeshPrimitive.cpp:5-15)."""
+    with open(fp) as f:
+        text = f.read()
+    v0, v1, v2, uv0, uv1, uv2, _ = parse_obj(text)
+    mesh = MeshPrimitive.from_triangles(
+        v0, v1, v2, None, uv0, uv1, uv2,
+        max_depth=max_depth, exact_normals=exact_normals,
+    )
+    print(f"OBJ File: {fp}")
+    print(f"Loaded {mesh.num_triangles} triangles")
+    return mesh
+
+
+def loads(text: str, max_depth: int = 32, exact_normals: bool = True) -> MeshPrimitive:
+    """Load OBJ source from a string."""
+    v0, v1, v2, uv0, uv1, uv2, _ = parse_obj(text)
+    return MeshPrimitive.from_triangles(
+        v0, v1, v2, None, uv0, uv1, uv2,
+        max_depth=max_depth, exact_normals=exact_normals,
+    )

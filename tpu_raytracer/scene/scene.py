@@ -1,0 +1,228 @@
+"""Scene container + compilation to flat device arrays.
+
+The reference's Scene (Scene.h:10-30, Scene.cpp:25-74) uploads
+pointer-linked structs to the GPU. The TPU-native equivalent is a pure
+"compile" step: ``Scene.compile()`` flattens every mesh, BVH, instance,
+material and texture into one SoA pytree of jnp arrays (``SceneArrays``)
+that jits cleanly, shards trivially, and serializes to disk — fixing the
+reference's gap of rebuilding BVHs from OBJ on every launch
+(MeshPrimitive.cpp:14; SURVEY.md §5 checkpoint/resume).
+
+Index plumbing at compile time:
+  * triangles of all meshes are concatenated (each mesh's triangles are
+    already in BVH-leaf order), and each mesh's BVH leaf_start values
+    are offset into the global triangle array;
+  * all BVH node arrays are concatenated with child indices offset, and
+    ``mesh_root[m]`` points at mesh m's root node;
+  * textures are packed into a flat [P, 3] uint8 atlas with per-material
+    (start, width, height) so a texel is ``atlas[start + y*w + x]`` —
+    the dense analog of the reference's pitched uchar3 buffers
+    (Material.hpp:29-43).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .instance import MeshInstance
+from .material import Material
+from .mesh import MeshPrimitive
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SceneArrays:
+    """Flat SoA scene — everything the render kernels need, as arrays."""
+
+    # Triangles (global, BVH-leaf-contiguous per mesh)
+    tri_v0: jax.Array  # [T, 3] f32
+    tri_v1: jax.Array
+    tri_v2: jax.Array
+    tri_normal: jax.Array  # [T, 3] f32
+    tri_uv0: jax.Array  # [T, 2] f32
+    tri_uv1: jax.Array
+    tri_uv2: jax.Array
+    tri_mesh: jax.Array  # [T] i32 owning-mesh id (for brute-force masking)
+    # BVH nodes (global across meshes)
+    node_min: jax.Array  # [N, 3] f32
+    node_max: jax.Array  # [N, 3] f32
+    node_child_a: jax.Array  # [N] i32 (global node index, -1 = leaf)
+    node_child_b: jax.Array  # [N] i32
+    node_leaf_start: jax.Array  # [N] i32 (global triangle index)
+    node_leaf_count: jax.Array  # [N] i32
+    mesh_root: jax.Array  # [M] i32 root node per mesh
+    # Instances (inverses precomputed, MeshInstance.hpp:39-46)
+    inst_mesh: jax.Array  # [I] i32
+    inst_material: jax.Array  # [I] i32
+    inst_pose: jax.Array  # [I, 6] f32 lre
+    inst_inv_pose: jax.Array  # [I, 6] f32
+    inst_scale: jax.Array  # [I, 3] f32
+    inst_inv_scale: jax.Array  # [I, 3] f32
+    # Materials
+    mat_albedo: jax.Array  # [K, 3] f32
+    mat_roughness: jax.Array  # [K] f32
+    mat_metallic: jax.Array  # [K] f32
+    mat_illumination: jax.Array  # [K] f32
+    mat_reflectivity: jax.Array  # [K] f32
+    mat_tex_start: jax.Array  # [K] i32, -1 = untextured
+    mat_tex_w: jax.Array  # [K] i32
+    mat_tex_h: jax.Array  # [K] i32
+    # Texture atlas
+    tex_atlas: jax.Array  # [P, 3] uint8, P >= 1
+
+    @property
+    def num_triangles(self) -> int:
+        return self.tri_v0.shape[0]
+
+    @property
+    def num_instances(self) -> int:
+        return self.inst_mesh.shape[0]
+
+    def update_instance(self, index: int, instance: MeshInstance) -> "SceneArrays":
+        """Functional single-instance pose update — the cheap animation
+        path (Scene::update_mesh_instance, Scene.cpp:67-74)."""
+        inv = instance.build_inv()
+        return dataclasses.replace(
+            self,
+            inst_pose=self.inst_pose.at[index].set(jnp.asarray(inv["pose"])),
+            inst_inv_pose=self.inst_inv_pose.at[index].set(jnp.asarray(inv["inv_pose"])),
+            inst_scale=self.inst_scale.at[index].set(jnp.asarray(inv["scale"])),
+            inst_inv_scale=self.inst_inv_scale.at[index].set(jnp.asarray(inv["inv_scale"])),
+            inst_mesh=self.inst_mesh.at[index].set(instance.mesh_index),
+            inst_material=self.inst_material.at[index].set(instance.material_index),
+        )
+
+    # -- serialization (the BVH/scene cache the reference lacks) --------
+    def save(self, fp: str) -> None:
+        arrays = {
+            f.name: np.asarray(getattr(self, f.name))
+            for f in dataclasses.fields(self)
+        }
+        np.savez_compressed(fp, **arrays)
+
+    @classmethod
+    def load(cls, fp: str) -> "SceneArrays":
+        with np.load(fp) as data:
+            return cls(**{k: jnp.asarray(data[k]) for k in data.files})
+
+
+class Scene:
+    """Host-side scene builder (Scene.h:10-30)."""
+
+    def __init__(self):
+        self.materials: list[Material] = []
+        self.meshes: list[MeshPrimitive] = []
+        self.mesh_instances: list[MeshInstance] = []
+
+    def add_material(self, material: Material) -> int:
+        self.materials.append(material)
+        return len(self.materials) - 1
+
+    def add_mesh(self, mesh: MeshPrimitive) -> int:
+        self.meshes.append(mesh)
+        return len(self.meshes) - 1
+
+    def add_mesh_instance(self, instance: MeshInstance) -> int:
+        self.mesh_instances.append(instance)
+        return len(self.mesh_instances) - 1
+
+    def update_mesh_instance(self, index: int, instance: MeshInstance) -> None:
+        self.mesh_instances[index] = instance
+
+    def compile(self) -> SceneArrays:
+        """Flatten to SceneArrays (the upload_to_device analog,
+        Scene.cpp:25-65)."""
+        if not self.meshes or not self.mesh_instances or not self.materials:
+            raise ValueError("scene needs at least one mesh, instance and material")
+
+        # --- triangles + BVH nodes, concatenated with offsets ---
+        tri_parts = {k: [] for k in ("v0", "v1", "v2", "normal", "uv0", "uv1", "uv2")}
+        node_parts = {k: [] for k in ("min", "max", "ca", "cb", "ls", "lc")}
+        tri_mesh = []
+        mesh_root = []
+        tri_off = 0
+        node_off = 0
+        for mesh_id, mesh in enumerate(self.meshes):
+            tri_mesh.append(np.full(mesh.num_triangles, mesh_id, np.int32))
+            for k, arr in (
+                ("v0", mesh.v0), ("v1", mesh.v1), ("v2", mesh.v2),
+                ("normal", mesh.normal),
+                ("uv0", mesh.uv0), ("uv1", mesh.uv1), ("uv2", mesh.uv2),
+            ):
+                tri_parts[k].append(arr)
+            b = mesh.bvh
+            internal = b.child_a >= 0
+            node_parts["min"].append(b.node_min)
+            node_parts["max"].append(b.node_max)
+            node_parts["ca"].append(np.where(internal, b.child_a + node_off, -1).astype(np.int32))
+            node_parts["cb"].append(np.where(internal, b.child_b + node_off, -1).astype(np.int32))
+            node_parts["ls"].append((b.leaf_start + tri_off).astype(np.int32))
+            node_parts["lc"].append(b.leaf_count)
+            mesh_root.append(node_off)
+            tri_off += mesh.num_triangles
+            node_off += b.num_nodes
+
+        # --- instances ---
+        inv = [inst.build_inv() for inst in self.mesh_instances]
+
+        # --- materials + texture atlas ---
+        atlas_parts = []
+        tex_start, tex_w, tex_h = [], [], []
+        p = 0
+        for m in self.materials:
+            if m.texture is not None:
+                h, w, _ = m.texture.shape
+                atlas_parts.append(m.texture.reshape(-1, 3))
+                tex_start.append(p)
+                tex_w.append(w)
+                tex_h.append(h)
+                p += h * w
+            else:
+                tex_start.append(-1)
+                tex_w.append(0)
+                tex_h.append(0)
+        atlas = (
+            np.concatenate(atlas_parts, axis=0)
+            if atlas_parts
+            else np.zeros((1, 3), np.uint8)
+        )
+
+        f32 = lambda x: jnp.asarray(np.asarray(x, np.float32))
+        i32 = lambda x: jnp.asarray(np.asarray(x, np.int32))
+        cat = np.concatenate
+        return SceneArrays(
+            tri_v0=f32(cat(tri_parts["v0"])),
+            tri_v1=f32(cat(tri_parts["v1"])),
+            tri_v2=f32(cat(tri_parts["v2"])),
+            tri_normal=f32(cat(tri_parts["normal"])),
+            tri_uv0=f32(cat(tri_parts["uv0"])),
+            tri_uv1=f32(cat(tri_parts["uv1"])),
+            tri_uv2=f32(cat(tri_parts["uv2"])),
+            tri_mesh=i32(cat(tri_mesh)),
+            node_min=f32(cat(node_parts["min"])),
+            node_max=f32(cat(node_parts["max"])),
+            node_child_a=i32(cat(node_parts["ca"])),
+            node_child_b=i32(cat(node_parts["cb"])),
+            node_leaf_start=i32(cat(node_parts["ls"])),
+            node_leaf_count=i32(cat(node_parts["lc"])),
+            mesh_root=i32(mesh_root),
+            inst_mesh=i32([inst.mesh_index for inst in self.mesh_instances]),
+            inst_material=i32([inst.material_index for inst in self.mesh_instances]),
+            inst_pose=f32([d["pose"] for d in inv]),
+            inst_inv_pose=f32([d["inv_pose"] for d in inv]),
+            inst_scale=f32([d["scale"] for d in inv]),
+            inst_inv_scale=f32([d["inv_scale"] for d in inv]),
+            mat_albedo=f32([m.albedo for m in self.materials]),
+            mat_roughness=f32([m.roughness for m in self.materials]),
+            mat_metallic=f32([m.metallic for m in self.materials]),
+            mat_illumination=f32([m.illumination for m in self.materials]),
+            mat_reflectivity=f32([m.reflectivity for m in self.materials]),
+            mat_tex_start=i32(tex_start),
+            mat_tex_w=i32(tex_w),
+            mat_tex_h=i32(tex_h),
+            tex_atlas=jnp.asarray(atlas),
+        )

@@ -1,0 +1,37 @@
+"""Image IO + overlay utilities (reference: display_image, kernel.cu:30-43).
+
+Images are [H, W, 3] uint8 in the reference's channel order (OpenCV
+BGR): ``save_png`` writes them with cv2 so out.png matches the
+reference's output exactly; PIL fallback swaps channels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def save_png(img, fp: str) -> None:
+    img = np.asarray(img, np.uint8)
+    try:
+        import cv2
+
+        cv2.imwrite(fp, img)
+    except ImportError:  # pragma: no cover
+        from PIL import Image
+
+        Image.fromarray(img[..., ::-1]).save(fp)
+
+
+def overlay_fps(img, fps: float):
+    """Burn an FPS label into the frame (kernel.cu:40-41)."""
+    img = np.ascontiguousarray(np.asarray(img, np.uint8))
+    try:
+        import cv2
+
+        cv2.putText(
+            img, f"FPS: {fps:f}", (10, 30),
+            cv2.FONT_HERSHEY_SIMPLEX, 1.0, (0, 255, 0), 2,
+        )
+    except ImportError:  # pragma: no cover
+        pass
+    return img
