@@ -112,7 +112,7 @@ def main():
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1088)
     ap.add_argument("--frames", type=int, default=10)
-    ap.add_argument("--backend", default=None, choices=[None, "brute", "bvh", "pallas"])
+    ap.add_argument("--backend", default=None, choices=["brute", "bvh", "pallas"])
     ap.add_argument("--lighting", default="flat",
                     choices=["flat", "lambert", "lambert_shadow"])
     ap.add_argument("--out", default="out.png")

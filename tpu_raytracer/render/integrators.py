@@ -1,0 +1,231 @@
+"""Multi-bounce integrators: Whitted reflections, point lights, and
+path tracing.
+
+The reference carries scaffolding for all of this — ``Ray.color`` /
+``illumination`` / ``terminated`` (Ray.hpp:10-14), the commented-out
+shadow/light-source code (raycast.cu:263-287), and per-pixel curand
+state (raycast.cu:190-193) — but only the flat-shaded primary pass is
+active. These integrators realize that scaffolding TPU-natively: the
+bounce loop is a *wavefront* — each bounce casts the full ray batch
+through the shared nearest-hit backends (renderer.py / the Pallas
+packet kernel), with terminated rays masked rather than compacted
+(dense masked lanes beat dynamic compaction on the VPU).
+
+Colors here are float [0, 1]; the uint8 conversion at the end matches
+the reference's truncating cast (raycast.cu:292-294).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.vecmath import FLT_MAX, dot, normalize
+from ..scene.scene import SceneArrays
+from .renderer import get_cast_fn, hit_attributes
+from .shade import DEFAULT_LIGHT_DIRECTION, SHADOW_EPS, surface_color
+
+SKY_F32 = (1.0, 0.8, 0.6)  # raycast.cu:211-213 before the *255
+
+
+@dataclasses.dataclass(frozen=True)
+class PointLight:
+    """A point light (the reference's cast_toward_lights sketch,
+    raycast.cu:286-287: position + intensity)."""
+
+    position: tuple
+    intensity: float = 100.0
+
+
+def _reflect(d, n):
+    return d - 2.0 * dot(d, n)[..., None] * n
+
+
+def _direct_illumination(
+    scene, cast, attrs, light_direction, point_lights, exact, shadows
+):
+    """Directional + point-light contribution at the hit points, with
+    hard shadow rays (the disabled reference path, raycast.cu:263-287)."""
+    illum = jnp.zeros(attrs.t.shape, jnp.float32)
+    if light_direction is not None:
+        ldir = normalize(jnp.asarray(light_direction, jnp.float32), exact=exact)
+        cos_i = jnp.maximum(dot(attrs.normal, ldir), 0.0)
+        if shadows:
+            occ = cast(
+                scene,
+                attrs.location + ldir * SHADOW_EPS,
+                jnp.broadcast_to(ldir, attrs.location.shape),
+            )
+            lit = occ.t >= FLT_MAX
+            cos_i = jnp.where(lit, cos_i, 0.4 * cos_i)
+        illum = illum + cos_i
+    for light in point_lights:
+        lpos = jnp.asarray(light.position, jnp.float32)
+        to_light = lpos - attrs.location
+        dist = jnp.sqrt(jnp.sum(to_light * to_light, -1))
+        ldir = to_light / jnp.maximum(dist, 1e-8)[..., None]
+        cos_i = jnp.maximum(dot(attrs.normal, ldir), 0.0)
+        falloff = light.intensity / jnp.maximum(dist * dist, 1e-8)
+        if shadows:
+            occ = cast(scene, attrs.location + ldir * SHADOW_EPS, ldir)
+            # occluded only if a hit lies between the point and the light
+            lit = occ.t >= dist
+            cos_i = jnp.where(lit, cos_i, 0.0)
+        illum = illum + cos_i * falloff
+    return illum
+
+
+def render_whitted(
+    scene: SceneArrays,
+    origin,
+    directions,
+    max_bounces: int = 2,
+    backend: str = "bvh",
+    light_direction=DEFAULT_LIGHT_DIRECTION,
+    point_lights: tuple = (),
+    shadows: bool = True,
+    exact: bool = True,
+) -> jax.Array:
+    """Whitted-style recursive reflections, iteratively unrolled.
+
+    Local shading is weighted (1 - reflectivity); a mirror bounce
+    continues with weight reflectivity (material.reflectivity — the
+    roughness/metallic fields the reference stores but never reads,
+    Material.hpp:8-10, realized as an explicit knob). Returns float
+    [..., 3] radiance in [0, 1].
+    """
+    cast = get_cast_fn(backend)
+    directions = jnp.asarray(directions, jnp.float32)
+    origin = jnp.broadcast_to(jnp.asarray(origin, jnp.float32), directions.shape)
+    shape = directions.shape[:-1]
+
+    radiance = jnp.zeros(shape + (3,), jnp.float32)
+    throughput = jnp.ones(shape + (3,), jnp.float32)  # Ray.color (Ray.hpp:21)
+    active = jnp.ones(shape, bool)
+    sky = jnp.asarray(SKY_F32, jnp.float32)
+
+    o, d = origin, directions
+    for bounce in range(max_bounces + 1):
+        hit = cast(scene, o, d)
+        attrs = hit_attributes(scene, o, d, hit, exact=exact)
+        miss = active & ~attrs.hit
+        radiance = radiance + jnp.where(miss[..., None], throughput * sky, 0.0)
+
+        live = active & attrs.hit
+        color = surface_color(scene, attrs)
+        illum = _direct_illumination(
+            scene, cast, attrs, light_direction, point_lights, exact, shadows
+        )
+        illum = jnp.clip(illum, 0.4, 1.0)  # reference clamp (raycast.cu:289-290)
+        refl = scene.mat_reflectivity[attrs.material]
+        emit = scene.mat_illumination[attrs.material]
+        local = color * illum[..., None] * (1.0 - refl[..., None]) + emit[..., None]
+        radiance = radiance + jnp.where(live[..., None], throughput * local, 0.0)
+
+        if bounce == max_bounces:
+            break
+        # continue the mirror bounce
+        throughput = throughput * jnp.where(live[..., None], color * refl[..., None], 0.0)
+        active = live & (refl > 0.0)
+        d = normalize(_reflect(d, attrs.normal), exact=exact)
+        o = attrs.location + d * SHADOW_EPS
+    return radiance
+
+
+def _cosine_sample(key, normal, exact):
+    """Cosine-weighted hemisphere sample around the normal."""
+    shape = normal.shape[:-1]
+    u = jax.random.uniform(key, shape + (2,), jnp.float32)
+    r = jnp.sqrt(u[..., 0])
+    phi = 2.0 * jnp.pi * u[..., 1]
+    x = r * jnp.cos(phi)
+    y = r * jnp.sin(phi)
+    z = jnp.sqrt(jnp.maximum(1.0 - u[..., 0], 0.0))
+    # orthonormal basis around n
+    n = normal
+    sign = jnp.where(n[..., 2] >= 0.0, 1.0, -1.0)
+    a = -1.0 / (sign + n[..., 2])
+    b = n[..., 0] * n[..., 1] * a
+    t = jnp.stack(
+        [1.0 + sign * n[..., 0] ** 2 * a, sign * b, -sign * n[..., 0]], -1
+    )
+    bvec = jnp.stack([b, sign + n[..., 1] ** 2 * a, -n[..., 1]], -1)
+    d = x[..., None] * t + y[..., None] * bvec + z[..., None] * n
+    return normalize(d, exact=exact)
+
+
+def render_path_traced(
+    scene: SceneArrays,
+    origin,
+    directions,
+    key: jax.Array,
+    max_bounces: int = 3,
+    samples: int = 4,
+    backend: str = "bvh",
+    sky_strength: float = 1.0,
+    exact: bool = True,
+) -> jax.Array:
+    """Monte-Carlo path tracing (the stochastic bounce design the
+    reference's curand setup anticipated, raycast.cu:190-193).
+
+    Lambertian BRDF with cosine-weighted sampling, emissive materials
+    via mat_illumination, sky as the ambient environment. The bounce
+    loop is a dense masked wavefront; samples accumulate via lax.scan
+    (constant memory in the sample count). Returns float [..., 3].
+    """
+    cast = get_cast_fn(backend)
+    directions = jnp.asarray(directions, jnp.float32)
+    origin = jnp.broadcast_to(jnp.asarray(origin, jnp.float32), directions.shape)
+    shape = directions.shape[:-1]
+    sky = jnp.asarray(SKY_F32, jnp.float32) * sky_strength
+
+    def one_sample(carry, key):
+        def bounce_step(state, key_b):
+            o, d, throughput, radiance, active = state
+            hit = cast(scene, o, d)
+            attrs = hit_attributes(scene, o, d, hit, exact=exact)
+            miss = active & ~attrs.hit
+            radiance = radiance + jnp.where(miss[..., None], throughput * sky, 0.0)
+            live = active & attrs.hit
+            color = surface_color(scene, attrs)
+            emit = scene.mat_illumination[attrs.material]
+            radiance = radiance + jnp.where(
+                live[..., None], throughput * emit[..., None], 0.0
+            )
+            throughput = throughput * jnp.where(live[..., None], color, 1.0)
+            d_new = _cosine_sample(key_b, attrs.normal, exact)
+            o_new = attrs.location + d_new * SHADOW_EPS
+            return (
+                jnp.where(live[..., None], o_new, o),
+                jnp.where(live[..., None], d_new, d),
+                throughput,
+                radiance,
+                live,
+            ), None
+
+        state = (
+            origin,
+            directions,
+            jnp.ones(shape + (3,), jnp.float32),
+            jnp.zeros(shape + (3,), jnp.float32),
+            jnp.ones(shape, bool),
+        )
+        keys = jax.random.split(key, max_bounces + 1)
+        for b in range(max_bounces + 1):
+            state, _ = bounce_step(state, keys[b])
+        radiance = state[3]
+        return carry + radiance, None
+
+    keys = jax.random.split(key, samples)
+    total = jnp.zeros(shape + (3,), jnp.float32)
+    total, _ = jax.lax.scan(one_sample, total, keys)
+    return total / samples
+
+
+def to_u8(radiance: jax.Array) -> jax.Array:
+    """Float radiance -> uint8 with the reference's truncating cast
+    (raycast.cu:292-294), clamped to the displayable range."""
+    return jnp.clip(radiance * 255.0, 0.0, 255.0).astype(jnp.uint8)

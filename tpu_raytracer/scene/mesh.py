@@ -55,10 +55,15 @@ class MeshPrimitive:
         uv2=None,
         max_depth: int = 32,
         exact_normals: bool = True,
+        builder: str = "auto",
     ) -> "MeshPrimitive":
         """Build from raw triangle arrays; computes winding normals when
         none are given (TrianglePrimitive.hpp:15-23) and builds the BVH
-        (MeshPrimitive.cpp:38-56)."""
+        (MeshPrimitive.cpp:38-56).
+
+        ``builder``: "auto" uses the native C++ builder for large
+        meshes when available (identical trees), "native" forces it,
+        "numpy" forces the Python path."""
         v0 = np.asarray(v0, np.float32).reshape(-1, 3)
         v1 = np.asarray(v1, np.float32).reshape(-1, 3)
         v2 = np.asarray(v2, np.float32).reshape(-1, 3)
@@ -72,7 +77,19 @@ class MeshPrimitive:
         uv1 = zeros_uv if uv1 is None else np.asarray(uv1, np.float32).reshape(-1, 2)
         uv2 = zeros_uv if uv2 is None else np.asarray(uv2, np.float32).reshape(-1, 2)
 
-        bvh = build_bvh(v0, v1, v2, max_depth=max_depth)
+        bvh = None
+        if builder != "numpy":
+            from .. import accel
+
+            use_native = builder == "native" or (
+                builder == "auto" and num >= 4096 and accel.native.native_available()
+            )
+            if use_native:
+                bvh = accel.native.build_bvh_native(v0, v1, v2, max_depth=max_depth)
+            elif builder == "native":
+                raise RuntimeError("native BVH builder unavailable")
+        if bvh is None:
+            bvh = build_bvh(v0, v1, v2, max_depth=max_depth)
         p = bvh.order  # reorder into leaf-contiguous order
         return cls(
             v0=v0[p], v1=v1[p], v2=v2[p], normal=normal[p],
