@@ -20,13 +20,16 @@ import numpy as np
 
 
 def build_bench_scene():
+    import os
+
     from tpu_raytracer.render import Camera
     from tpu_raytracer.scene import Material, MeshInstance, MeshPrimitive, Scene, procgen
 
     scene = Scene()
     scene.add_material(Material(albedo=(0.8, 0.3, 0.2)))
     v0, v1, v2 = procgen.blob(subdivisions=6)  # 81 920 tris, bunny-class
-    scene.add_mesh(MeshPrimitive.from_triangles(v0, v1, v2))
+    min_leaf = int(os.environ.get("TRT_MIN_LEAF", "8"))
+    scene.add_mesh(MeshPrimitive.from_triangles(v0, v1, v2, min_leaf_size=min_leaf))
     inst = MeshInstance(0, 0)
     scene.add_mesh_instance(inst)
     cam = Camera.looking(1920, 1088, fov_deg=50.0, pose=[0.0, -3.2, 0.0, 0, 0, 0])

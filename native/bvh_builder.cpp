@@ -54,6 +54,7 @@ struct Builder {
   const float* cent;     // [T,3]
   int max_depth;
   int tests_per_axis;
+  int min_leaf_size;
 
   std::vector<float> node_min, node_max;
   std::vector<int32_t> child_a, child_b, leaf_start, leaf_count;
@@ -113,7 +114,7 @@ struct Builder {
       box.grow(tri_min + 3 * idx[i], tri_max + 3 * idx[i]);
     int id = new_node(box);
 
-    if (depth >= max_depth || n <= 1) {
+    if (depth >= max_depth || n <= (min_leaf_size > 1 ? min_leaf_size : 1)) {
       make_leaf(id, idx, n);
       return id;
     }
@@ -177,7 +178,8 @@ extern "C" {
 // triangle per leaf) and num_tris order entries.
 int32_t trt_build_bvh(const float* v0, const float* v1, const float* v2,
                       int32_t num_tris, int32_t max_depth,
-                      int32_t tests_per_axis, float* out_node_min,
+                      int32_t tests_per_axis, int32_t min_leaf_size,
+                      float* out_node_min,
                       float* out_node_max, int32_t* out_child_a,
                       int32_t* out_child_b, int32_t* out_leaf_start,
                       int32_t* out_leaf_count, int32_t* out_order) {
@@ -202,6 +204,7 @@ int32_t trt_build_bvh(const float* v0, const float* v1, const float* v2,
   builder.cent = cent.data();
   builder.max_depth = max_depth;
   builder.tests_per_axis = tests_per_axis;
+  builder.min_leaf_size = min_leaf_size;
 
   std::vector<int32_t> idx(num_tris);
   for (int i = 0; i < num_tris; ++i) idx[i] = i;

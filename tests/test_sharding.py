@@ -1,0 +1,58 @@
+"""Multi-chip sharded rendering on the 8-device virtual CPU mesh
+(SURVEY.md §4 item 6)."""
+
+import jax
+import numpy as np
+import pytest
+
+from tpu_raytracer.parallel import make_mesh, render_image_sharded
+from tpu_raytracer.render import Camera, RenderConfig, render
+from tpu_raytracer.scene import Material, MeshInstance, Scene, objloader, procgen
+
+
+def small_scene(width, height):
+    scene = Scene()
+    mat = Material()
+    mat.set_texture(procgen.checkerboard_texture(32, 4))
+    scene.add_material(mat)
+    scene.add_mesh(objloader.loads(procgen.cube_obj()))
+    scene.add_mesh_instance(MeshInstance(0, 0))
+    cam = Camera.looking(width, height, fov_deg=45.0, pose=[0, -4, 0, 0, 0, 0])
+    return scene.compile(), cam
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_render_matches_single_device():
+    arrays, cam = small_scene(64, 64)
+    mesh = make_mesh(8)
+    config = RenderConfig(width=64, height=64, backend="brute")
+    p = cam.ray_params()
+    img_sharded = np.asarray(
+        render_image_sharded(
+            config, mesh, arrays, p["K_inv"], p["D"], p["pose"], p["inv_pose"]
+        )
+    )
+    img_single = np.asarray(render(cam, arrays, backend="brute"))
+    np.testing.assert_array_equal(img_sharded, img_single)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
+def test_sharded_render_is_actually_sharded():
+    arrays, cam = small_scene(64, 64)
+    mesh = make_mesh(4)
+    config = RenderConfig(width=64, height=64, backend="brute")
+    p = cam.ray_params()
+    img = render_image_sharded(
+        config, mesh, arrays, p["K_inv"], p["D"], p["pose"], p["inv_pose"]
+    )
+    assert len(img.sharding.device_set) == 4
+
+
+def test_graft_dryrun_multichip():
+    import sys
+
+    sys.path.insert(0, ".")
+    from __graft_entry__ import dryrun_multichip
+
+    n = min(len(jax.devices()), 8)
+    dryrun_multichip(n)

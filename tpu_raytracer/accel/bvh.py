@@ -103,8 +103,13 @@ def build_bvh(
     v2: np.ndarray,
     max_depth: int = 32,
     tests_per_axis: int = 5,
+    min_leaf_size: int = 1,
 ) -> BVHArrays:
-    """Build a BVH over triangles given as three [T, 3] vertex arrays."""
+    """Build a BVH over triangles given as three [T, 3] vertex arrays.
+
+    ``min_leaf_size``: stop splitting below this count (the reference
+    stops at 1, BVHTree.hpp:214; larger values trade node visits for
+    triangle tests, a packet-traversal tuning knob)."""
     v0 = np.asarray(v0, np.float32)
     v1 = np.asarray(v1, np.float32)
     v2 = np.asarray(v2, np.float32)
@@ -140,7 +145,7 @@ def build_bvh(
         mx = tri_max[idx].max(axis=0)
         node_id = new_node(mn, mx)
 
-        if depth >= max_depth or len(idx) <= 1:
+        if depth >= max_depth or len(idx) <= max(min_leaf_size, 1):
             make_leaf(node_id, idx)
             return node_id
 

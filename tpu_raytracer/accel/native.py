@@ -40,7 +40,7 @@ def _load() -> ctypes.CDLL | None:
         lib.trt_build_bvh.restype = ctypes.c_int32
         lib.trt_build_bvh.argtypes = [
             f32p, f32p, f32p,
-            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             f32p, f32p, i32p, i32p, i32p, i32p, i32p,
         ]
         _lib = lib
@@ -60,6 +60,7 @@ def build_bvh_native(
     v2: np.ndarray,
     max_depth: int = 32,
     tests_per_axis: int = 5,
+    min_leaf_size: int = 1,
 ) -> BVHArrays:
     """Build a BVH with the C++ builder. Raises RuntimeError when the
     native library is unavailable (callers fall back to numpy)."""
@@ -80,7 +81,7 @@ def build_bvh_native(
     order = np.empty(max(t, 1), np.int32)
     n = lib.trt_build_bvh(
         v0.reshape(-1), v1.reshape(-1), v2.reshape(-1),
-        t, max_depth, tests_per_axis,
+        t, max_depth, tests_per_axis, min_leaf_size,
         node_min.reshape(-1), node_max.reshape(-1),
         child_a, child_b, leaf_start, leaf_count, order,
     )

@@ -2,40 +2,56 @@
 
 TPU-native redesign of the reference's per-thread divergent stack walk
 (raycast.cu:54-138). A CUDA thread owns one ray and one stack; a TPU
-core owns a PACKET of TILE_S x TILE_L = 8 x 128 = 1024 coherent rays
-(one 32 x 32 pixel block) and ONE shared node stack in SMEM:
+core owns a PACKET of 8 x 128 = 1024 coherent rays (one 32 x 32 pixel
+block, a full f32 vreg) and ONE shared node stack in SMEM:
 
   * the scalar core pops a node and decides descent order;
   * the VPU tests the node's child AABBs against all 1024 rays at once
-    (dense [8, 128] slab tests);
+    (dense [8, 128] slab tests, BVHTree.hpp:40-54);
   * a child is descended if ANY lane's entry distance beats its current
-    best (packet traversal a la CPU-SIMD ray tracing);
-  * leaves run dense masked plane + barycentric triangle tests across
-    the whole tile, one triangle (broadcast scalars) per step.
+    best (packet traversal a la CPU-SIMD ray tracing), near child first
+    by packet-min entry distance (raycast.cu:72-79);
+  * leaves run dense masked plane + barycentric triangle tests
+    (TrianglePrimitive.hpp:62-79, 151-169) across the whole tile, one
+    triangle (broadcast fields) per step, backface cull folded in
+    (raycast.cu:107-109).
 
-Memory-layout constraints (probed on this TPU generation): VMEM allows
-dynamic indexing on the SUBLANE dim but not the lane dim, and SMEM
-scalar tables cap out ~256KB. So all per-node / per-triangle fields are
-packed as [ceil(N/128), 128] VMEM arrays and fetched with one
-dynamic-sublane row load + a one-hot lane mask + reduce; control
-scalars round-trip through an SMEM scratchpad to reach the scalar core.
-Both children's AABBs are stored indexed BY PARENT so one row+mask
-fetches the whole node record.
+Probed Mosaic constraints that shaped the implementation: no dynamic
+lane indexing, no scalar stores to VMEM, vector-derived scalars must
+round-trip through SMEM to drive control flow, and the only broadcast-
+producing extraction is a masked keepdims-reduce. Hence:
+
+  * per-node/per-triangle fields are packed into 16-lane records, 8 per
+    128-lane row; ONE dynamic-sublane row load + ONE batched masked
+    reduce fetches a whole record as [16, 128] broadcast rows;
+  * both children's boxes are stored in the PARENT record, so a node
+    pop costs one control-word round-trip + one record fetch;
+  * the control word packs everything scalar: internal -> child_b
+    (child_a is implicitly node+1, DFS preorder), leaf ->
+    leaf_start * 1024 + leaf_count, negated.
 
 The whole SoA scene stays resident in VMEM across the ray-tile grid
-(bunny-class is a few MB of the ~16MB budget), so traversal never
-touches HBM after the first tile. The reference's two optimizations
-are preserved: ordered near-child-first descent and t-pruning
-(raycast.cu:69-79), plus one improvement: t_best carries ACROSS
-instances, pruning later instances by earlier hits.
+(bunny-class is a few MB of the ~16MB budget). t_best carries across
+instances (improving on the reference: earlier instances prune later
+ones). Distances are object-space plane t values, equal to the
+reference's world distances (see render/intersect.py).
+
+An 8-wide collapsed variant (sublane = child) was built and measured
+at 13x SLOWER: 128-ray packets don't amortize pops (visits per packet
+only halved while rays dropped 8x) — packet width beats tree width on
+this hardware. The wide arrays (accel/wide.py) remain available for
+future HBM-resident traversal experiments.
 
 Outputs the same compact (t, tri, inst) hit record as the XLA backends
 (renderer.py), so attribute reconstruction and shading are shared.
+Set TRT_KERNEL_STATS=1 to also return per-tile (node pops, triangle
+tests) counters for performance analysis.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -49,22 +65,29 @@ TILE_S = 8  # sublanes
 TILE_L = 128  # lanes
 TILE = TILE_S * TILE_L  # rays per packet
 PIX_TILE = 32  # 32x32 pixel block -> one packet
+PIX_W = PIX_TILE
+PIX_H = PIX_TILE
 STACK_SIZE = 48  # max BVH depth 32 (MeshPrimitive.cpp:54) + slack
+REC_LANES = 16  # lanes per record slot
+REC_PER_ROW = TILE_L // REC_LANES
 # Python floats so they inline as literals (jnp scalars would be
 # captured as unsupported kernel constants).
 BIG = 3.0e38
 PARALLEL_EPS = 1e-6
 _FLT_MAX = 3.4028235e38
 
-# SMEM scratch slot map
-_S_SP = STACK_SIZE  # loop stack pointer (unused slot kept for clarity)
-_S_CA, _S_CB, _S_LS, _S_LC = STACK_SIZE + 1, STACK_SIZE + 2, STACK_SIZE + 3, STACK_SIZE + 4
-_SMEM_SLOTS = STACK_SIZE + 8
+LEAF_BITS = 10
+LEAF_SHIFT = 1 << LEAF_BITS
+MAX_LEAF_TRIS = LEAF_SHIFT - 1
+
+# SMEM scratch slot map (after the stack)
+_S_CODE = STACK_SIZE
+_SMEM_SLOTS = STACK_SIZE + 4
 
 
 def _quat_rot(qw, qx, qy, qz, vx, vy, vz):
     """apply_quat (transforms.hpp:165-176) on [8,128] component tiles
-    with broadcast quaternion parts."""
+    with scalar quaternion parts."""
     a = -vx * qx - vy * qy - vz * qz
     b = vx * qw + vy * qz - vz * qy
     c = vy * qw + vz * qx - vx * qz
@@ -77,28 +100,23 @@ def _quat_rot(qw, qx, qy, qz, vx, vy, vz):
 
 def _traversal_kernel(
     num_instances: int,
-    # --- scalar (SMEM) inputs ---
-    inst_tab_ref,  # [I, 12] f32: quat(4) xyz(3) inv_scale(3) pad(2)
-    inst_root_ref,  # [I] i32 root node id
-    # --- ray tile (VMEM) ---
-    ox_ref, oy_ref, oz_ref,  # [1, 8, 128] f32
-    dx_ref, dy_ref, dz_ref,
-    # --- packed node records, indexed by PARENT node id [Rn, 128] ---
-    n_ca_ref, n_cb_ref, n_ls_ref, n_lc_ref,  # i32
-    ca_minx_ref, ca_miny_ref, ca_minz_ref,  # f32: child A box
-    ca_maxx_ref, ca_maxy_ref, ca_maxz_ref,
-    cb_minx_ref, cb_miny_ref, cb_minz_ref,  # f32: child B box
-    cb_maxx_ref, cb_maxy_ref, cb_maxz_ref,
-    # --- packed triangle SoA [Rt, 128] f32 ---
-    v0x_ref, v0y_ref, v0z_ref,
-    v1x_ref, v1y_ref, v1z_ref,
-    v2x_ref, v2y_ref, v2z_ref,
-    nx_ref, ny_ref, nz_ref,
-    # --- outputs [1, 8, 128] ---
-    t_out_ref, tri_out_ref, inst_out_ref,
-    # --- scratch ---
-    smem_ref,  # SMEM [_SMEM_SLOTS] i32: stack + control scalars
+    with_stats: bool,
+    *refs,
 ):
+    (
+        inst_tab_ref,  # SMEM [I, 12] f32: quat(4) xyz(3) inv_scale(3) pad
+        inst_root_ref,  # SMEM [I] i32 root node id
+        ox_ref, oy_ref, oz_ref,  # VMEM [1, 8, 128] f32 ray origins
+        dx_ref, dy_ref, dz_ref,  # VMEM [1, 8, 128] f32 ray directions
+        code_ref,  # VMEM [ceil(N/128), 128] i32 packed control words
+        nodef_ref,  # VMEM [ceil(N/8), 128] f32 16-lane records: A+B boxes
+        trif_ref,  # VMEM [ceil(T/8), 128] f32 16-lane records: A,B,C,n
+    ) = refs[:11]
+    if with_stats:
+        t_out_ref, tri_out_ref, inst_out_ref, pops_ref, tests_ref, smem_ref = refs[11:]
+    else:
+        t_out_ref, tri_out_ref, inst_out_ref, smem_ref = refs[11:]
+
     wox = ox_ref[0]
     woy = oy_ref[0]
     woz = oz_ref[0]
@@ -106,27 +124,31 @@ def _traversal_kernel(
     wdy = dy_ref[0]
     wdz = dz_ref[0]
 
-    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_L), 1)
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_L), 1)
+    lane16 = jax.lax.broadcasted_iota(jnp.int32, (REC_LANES, TILE_L), 1)
+    sub16 = jax.lax.broadcasted_iota(jnp.int32, (REC_LANES, TILE_L), 0)
 
-    def fetch_mask(k):
-        """(row, one-hot lane mask) for packed-array element k."""
-        return k // TILE_L, lane_iota == (k % TILE_L)
+    def fetch_record(ref, k):
+        """Fetch one 16-field record as a [16, 128] value whose row j is
+        field j broadcast across all lanes."""
+        row = ref[pl.ds(k // REC_PER_ROW, 1), :]
+        rep = jnp.broadcast_to(row, (REC_LANES, TILE_L))
+        mask = lane16 == (k % REC_PER_ROW) * REC_LANES + sub16
+        vals = jnp.sum(jnp.where(mask, rep, 0.0), axis=1, keepdims=True)
+        return vals + jnp.zeros((REC_LANES, TILE_L), jnp.float32)
 
-    def fetch_f(ref, row, mask):
-        """One f32 element as a [1, 1] broadcastable value."""
-        return jnp.sum(
-            jnp.where(mask, ref[pl.ds(row, 1), :], 0.0), axis=1, keepdims=True
-        )
-
-    def fetch_i(ref, row, mask, slot):
-        """One i32 element, round-tripped through SMEM to the scalar
-        core (vector-reduced values can't drive control flow directly)."""
-        smem_ref[slot] = jnp.sum(jnp.where(mask, ref[pl.ds(row, 1), :], 0))
-        return smem_ref[slot]
+    def fetch_code(k):
+        """Node control word -> scalar via SMEM round-trip (reduced
+        vector values can't drive control flow directly)."""
+        row = code_ref[pl.ds(k // TILE_L, 1), :]
+        smem_ref[_S_CODE] = jnp.sum(jnp.where(lane1 == k % TILE_L, row, 0))
+        return smem_ref[_S_CODE]
 
     t_best = jnp.full((TILE_S, TILE_L), BIG, jnp.float32)
     tri_best = jnp.full((TILE_S, TILE_L), -1, jnp.int32)
     inst_best = jnp.full((TILE_S, TILE_L), -1, jnp.int32)
+    n_pops = jnp.int32(0)
+    n_tests = jnp.int32(0)
 
     for i in range(num_instances):
         qw = inst_tab_ref[i, 0]
@@ -149,9 +171,16 @@ def _traversal_kernel(
         idy_ = 1.0 / ody
         idz_ = 1.0 / odz
 
-        def packet_entry(bminx, bminy, bminz, bmaxx, bmaxy, bmaxz, t_cap):
-            """Packet slab test (BVHTree.hpp:40-54) against one box given
-            as [1,1] broadcast scalars; returns min active entry or BIG."""
+        def packet_entry(rec, base, t_cap):
+            """Packet slab test (BVHTree.hpp:40-54) against the box in
+            record rows [base, base+6); returns the min entry over lanes
+            that beat their best, or BIG."""
+            bminx = rec[base + 0 : base + 1, :]
+            bminy = rec[base + 1 : base + 2, :]
+            bminz = rec[base + 2 : base + 3, :]
+            bmaxx = rec[base + 3 : base + 4, :]
+            bmaxy = rec[base + 4 : base + 5, :]
+            bmaxz = rec[base + 5 : base + 6, :]
             t1x = (bminx - oox) * idx_
             t2x = (bmaxx - oox) * idx_
             t1y = (bminy - ooy) * idy_
@@ -170,19 +199,26 @@ def _traversal_kernel(
             return jnp.min(jnp.where(hit, near, BIG))
 
         def leaf_fn(args):
-            node, row, mask, sp, t_b, tri_b, in_b = args
-            start = fetch_i(n_ls_ref, row, mask, _S_LS)
-            count = fetch_i(n_lc_ref, row, mask, _S_LC)
+            code, sp, t_b, tri_b, in_b, np_, nt_ = args
+            packed = -code - 1
+            start = packed >> LEAF_BITS
+            count = packed & MAX_LEAF_TRIS
 
             def tri_body(k, acc):
                 t_b, tri_b, in_b = acc
-                trow, tmask = fetch_mask(k)
-                ax = fetch_f(v0x_ref, trow, tmask)
-                ay = fetch_f(v0y_ref, trow, tmask)
-                az = fetch_f(v0z_ref, trow, tmask)
-                nx = fetch_f(nx_ref, trow, tmask)
-                ny = fetch_f(ny_ref, trow, tmask)
-                nz = fetch_f(nz_ref, trow, tmask)
+                rec = fetch_record(trif_ref, k)
+                ax = rec[0:1, :]
+                ay = rec[1:2, :]
+                az = rec[2:3, :]
+                bx = rec[3:4, :]
+                by = rec[4:5, :]
+                bz = rec[5:6, :]
+                cx = rec[6:7, :]
+                cy = rec[7:8, :]
+                cz = rec[8:9, :]
+                nx = rec[9:10, :]
+                ny = rec[10:11, :]
+                nz = rec[11:12, :]
                 # plane hit (TrianglePrimitive.hpp:62-79); accept test
                 # denom <= -eps folds in the backface cull
                 # (raycast.cu:107-109)
@@ -192,12 +228,6 @@ def _traversal_kernel(
                 pxl = oox + t * odx
                 pyl = ooy + t * ody
                 pzl = ooz + t * odz
-                bx = fetch_f(v1x_ref, trow, tmask)
-                by = fetch_f(v1y_ref, trow, tmask)
-                bz = fetch_f(v1z_ref, trow, tmask)
-                cx = fetch_f(v2x_ref, trow, tmask)
-                cy = fetch_f(v2y_ref, trow, tmask)
-                cz = fetch_f(v2z_ref, trow, tmask)
                 # barycentric (TrianglePrimitive.hpp:151-169):
                 # e0 = C - A, e1 = B - A, e2 = P - A
                 e0x, e0y, e0z = cx - ax, cy - ay, cz - az
@@ -226,57 +256,52 @@ def _traversal_kernel(
                 )
 
             acc = jax.lax.fori_loop(start, start + count, tri_body, (t_b, tri_b, in_b))
-            return (sp,) + acc
-
-        def internal_fn(args):
-            node, row, mask, sp, t_b, tri_b, in_b = args
-            ca = fetch_i(n_ca_ref, row, mask, _S_CA)
-            cb = fetch_i(n_cb_ref, row, mask, _S_CB)
-            da = packet_entry(
-                fetch_f(ca_minx_ref, row, mask), fetch_f(ca_miny_ref, row, mask),
-                fetch_f(ca_minz_ref, row, mask), fetch_f(ca_maxx_ref, row, mask),
-                fetch_f(ca_maxy_ref, row, mask), fetch_f(ca_maxz_ref, row, mask),
-                t_b,
-            )
-            db = packet_entry(
-                fetch_f(cb_minx_ref, row, mask), fetch_f(cb_miny_ref, row, mask),
-                fetch_f(cb_minz_ref, row, mask), fetch_f(cb_maxx_ref, row, mask),
-                fetch_f(cb_maxy_ref, row, mask), fetch_f(cb_maxz_ref, row, mask),
-                t_b,
-            )
-            # Ordered push: far child first, near child last so it pops
-            # first (raycast.cu:72-79), packet-wide ordering heuristic.
-            a_near = da <= db
-            far = jnp.where(a_near, cb, ca)
-            d_far = jnp.where(a_near, db, da)
-            near = jnp.where(a_near, ca, cb)
-            d_near = jnp.where(a_near, da, db)
-            smem_ref[sp] = far
-            sp = sp + (d_far < BIG).astype(jnp.int32)
-            smem_ref[sp] = near
-            sp = sp + (d_near < BIG).astype(jnp.int32)
-            return sp, t_b, tri_b, in_b
+            return (sp,) + acc + (np_, nt_ + count)
 
         def body(carry):
-            sp, t_b, tri_b, in_b = carry
+            sp, t_b, tri_b, in_b, np_, nt_ = carry
             sp = sp - 1
             node = smem_ref[sp]
-            row, mask = fetch_mask(node)
-            ca = fetch_i(n_ca_ref, row, mask, _S_CA)
+            code = fetch_code(node)
+            np_ = np_ + 1
+
+            def internal(args):
+                code, sp, t_b, tri_b, in_b, np_, nt_ = args
+                ca = node + 1  # DFS preorder: left child follows parent
+                cb = code
+                rec = fetch_record(nodef_ref, node)
+                da = packet_entry(rec, 0, t_b)
+                db = packet_entry(rec, 6, t_b)
+                # Ordered push: far child first, near child last so it
+                # pops first (raycast.cu:72-79).
+                a_near = da <= db
+                far = jnp.where(a_near, cb, ca)
+                d_far = jnp.where(a_near, db, da)
+                near = jnp.where(a_near, ca, cb)
+                d_near = jnp.where(a_near, da, db)
+                smem_ref[sp] = far
+                sp = sp + (d_far < BIG).astype(jnp.int32)
+                smem_ref[sp] = near
+                sp = sp + (d_near < BIG).astype(jnp.int32)
+                return sp, t_b, tri_b, in_b, np_, nt_
+
             return jax.lax.cond(
-                ca < 0, leaf_fn, internal_fn,
-                (node, row, mask, sp, t_b, tri_b, in_b),
+                code < 0, leaf_fn, internal,
+                (code, sp, t_b, tri_b, in_b, np_, nt_),
             )
 
         smem_ref[0] = inst_root_ref[i]
-        carry = (jnp.int32(1), t_best, tri_best, inst_best)
-        _, t_best, tri_best, inst_best = jax.lax.while_loop(
+        carry = (jnp.int32(1), t_best, tri_best, inst_best, n_pops, n_tests)
+        _, t_best, tri_best, inst_best, n_pops, n_tests = jax.lax.while_loop(
             lambda c: c[0] > 0, body, carry
         )
 
     t_out_ref[0] = jnp.where(t_best >= BIG, _FLT_MAX, t_best)
     tri_out_ref[0] = tri_best
     inst_out_ref[0] = inst_best
+    if with_stats:
+        pops_ref[0] = jnp.zeros((TILE_S, TILE_L), jnp.int32) + n_pops
+        tests_ref[0] = jnp.zeros((TILE_S, TILE_L), jnp.int32) + n_tests
 
 
 def _pack128(a: jax.Array, fill) -> jax.Array:
@@ -286,6 +311,17 @@ def _pack128(a: jax.Array, fill) -> jax.Array:
     if pad:
         a = jnp.concatenate([a, jnp.full((pad,), fill, a.dtype)])
     return a.reshape(-1, TILE_L)
+
+
+def _pack_records(fields, num) -> jax.Array:
+    """Stack per-element field arrays into 16-lane records, 8 records
+    per 128-lane row: element k lives at [k // 8, (k % 8) * 16 + j]."""
+    cols = list(fields) + [jnp.zeros(num, jnp.float32)] * (REC_LANES - len(fields))
+    rec = jnp.stack(cols, axis=1)  # [num, 16]
+    pad = (-num) % REC_PER_ROW
+    if pad:
+        rec = jnp.concatenate([rec, jnp.zeros((pad, REC_LANES), jnp.float32)])
+    return rec.reshape(-1, TILE_L)
 
 
 def _scene_kernel_inputs(scene: SceneArrays):
@@ -298,35 +334,35 @@ def _scene_kernel_inputs(scene: SceneArrays):
     )
     inst_root = scene.mesh_root[scene.inst_mesh]
 
-    # Child boxes indexed by parent: one fetch row covers the whole node.
+    # Node control word: internal -> child_b (child_a = node + 1 by DFS
+    # preorder construction); leaf -> -(start * LEAF_SHIFT + count) - 1.
+    is_leaf = scene.node_child_a < 0
+    packed_leaf = scene.node_leaf_start * LEAF_SHIFT + scene.node_leaf_count
+    code = jnp.where(is_leaf, -packed_leaf - 1, scene.node_child_b)
+    code_arr = _pack128(code.astype(jnp.int32), -1)
+
+    # Both children's boxes in the parent's 16-lane record.
     ca = jnp.maximum(scene.node_child_a, 0)
     cb = jnp.maximum(scene.node_child_b, 0)
-    child_boxes = []
+    box_fields = []
     for c in (ca, cb):
         mn = scene.node_min[c]
         mx = scene.node_max[c]
-        child_boxes += [mn[:, 0], mn[:, 1], mn[:, 2], mx[:, 0], mx[:, 1], mx[:, 2]]
-
-    node_arrays = tuple(
-        _pack128(a, -1)
-        for a in (
-            scene.node_child_a, scene.node_child_b,
-            scene.node_leaf_start, scene.node_leaf_count,
-        )
-    ) + tuple(_pack128(a, 0.0) for a in child_boxes)
+        box_fields += [mn[:, 0], mn[:, 1], mn[:, 2], mx[:, 0], mx[:, 1], mx[:, 2]]
+    nodef = _pack_records(box_fields, scene.node_child_a.shape[0])
 
     comps = lambda m: (m[:, 0], m[:, 1], m[:, 2])
     tri_fields = (
         comps(scene.tri_v0) + comps(scene.tri_v1) + comps(scene.tri_v2)
         + comps(scene.tri_normal)
     )
-    tri_arrays = tuple(_pack128(a, 0.0) for a in tri_fields)
-    return (inst_tab, inst_root), node_arrays, tri_arrays
+    trif = _pack_records(tri_fields, scene.num_triangles)
+    return (inst_tab, inst_root), (code_arr, nodef), (trif,)
 
 
 def _image_to_tiles(arr: jax.Array) -> jax.Array:
     """[H, W] -> [n_tiles, 8, 128] where each tile is one PIX_TILE^2
-    pixel block (coherent packets). H, W must be multiples of PIX_TILE."""
+    pixel block (coherent packets)."""
     h, w = arr.shape
     a = arr.reshape(h // PIX_TILE, PIX_TILE, w // PIX_TILE, PIX_TILE)
     a = a.transpose(0, 2, 1, 3).reshape(-1, TILE_S, TILE_L)
@@ -338,11 +374,16 @@ def _tiles_to_image(tiles: jax.Array, h: int, w: int) -> jax.Array:
     return a.transpose(0, 2, 1, 3).reshape(h, w)
 
 
+def _stats_enabled() -> bool:
+    return os.environ.get("TRT_KERNEL_STATS", "0") == "1"
+
+
 def _run_kernel(scene: SceneArrays, tiled, interpret: bool):
     """Invoke the pallas traversal over [n_tiles, 8, 128] ray tiles."""
     ox, oy, oz, dx, dy, dz = tiled
     n_tiles = ox.shape[0]
     (inst_tab, inst_root), node_arrays, tri_arrays = _scene_kernel_inputs(scene)
+    with_stats = _stats_enabled()
 
     ray_spec = pl.BlockSpec(
         (1, TILE_S, TILE_L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -361,22 +402,35 @@ def _run_kernel(scene: SceneArrays, tiled, interpret: bool):
         + [vmem_whole(a) for a in node_arrays]
         + [vmem_whole(a) for a in tri_arrays]
     )
-    out_shape = (
-        jax.ShapeDtypeStruct((n_tiles, TILE_S, TILE_L), jnp.float32),
-        jax.ShapeDtypeStruct((n_tiles, TILE_S, TILE_L), jnp.int32),
-        jax.ShapeDtypeStruct((n_tiles, TILE_S, TILE_L), jnp.int32),
-    )
-    kernel = functools.partial(_traversal_kernel, scene.num_instances)
-    t, tri, inst = pl.pallas_call(
+    f32s = jax.ShapeDtypeStruct((n_tiles, TILE_S, TILE_L), jnp.float32)
+    i32s = jax.ShapeDtypeStruct((n_tiles, TILE_S, TILE_L), jnp.int32)
+    out_shape = (f32s, i32s, i32s) + ((i32s, i32s) if with_stats else ())
+    kernel = functools.partial(_traversal_kernel, scene.num_instances, with_stats)
+    outs = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=in_specs,
-        out_specs=(ray_spec, ray_spec, ray_spec),
+        out_specs=(ray_spec,) * len(out_shape),
         out_shape=out_shape,
         scratch_shapes=[pltpu.SMEM((_SMEM_SLOTS,), jnp.int32)],
         interpret=interpret,
     )(*inputs)
+    if with_stats:
+        t, tri, inst, pops, tests = outs
+        _LAST_STATS["pops"] = pops[:, 0, 0]
+        _LAST_STATS["tests"] = tests[:, 0, 0]
+    else:
+        t, tri, inst = outs
     return t, tri, inst
+
+
+_LAST_STATS: dict = {}
+
+
+def last_stats():
+    """Per-tile (pops, tri tests) from the most recent stats-enabled
+    cast (TRT_KERNEL_STATS=1)."""
+    return _LAST_STATS.get("pops"), _LAST_STATS.get("tests")
 
 
 def _on_tpu() -> bool:

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..kernels.traversal import PIX_TILE
+from ..kernels.traversal import PIX_H
 from ..render.camera import generate_rays
 from ..render.pipeline import RenderConfig
 from ..render.renderer import get_cast_fn, hit_attributes
@@ -55,12 +55,12 @@ def render_image_sharded(
 ) -> jax.Array:
     """Render one frame with image rows sharded over ``mesh``.
 
-    Row constraint: H must divide into n_devices * PIX_TILE blocks so
+    Row constraint: H must divide into n_devices * PIX_H blocks so
     every chip gets whole packet tiles.
     """
     axis = mesh.axis_names[0]
     n = mesh.shape[axis]
-    if config.height % (n * PIX_TILE) != 0 and config.height % n != 0:
+    if config.height % (n * PIX_H) != 0 and config.height % n != 0:
         raise ValueError(
             f"height {config.height} not divisible by {n} devices"
         )

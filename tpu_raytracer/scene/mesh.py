@@ -56,6 +56,7 @@ class MeshPrimitive:
         max_depth: int = 32,
         exact_normals: bool = True,
         builder: str = "auto",
+        min_leaf_size: int = 8,
     ) -> "MeshPrimitive":
         """Build from raw triangle arrays; computes winding normals when
         none are given (TrianglePrimitive.hpp:15-23) and builds the BVH
@@ -63,7 +64,13 @@ class MeshPrimitive:
 
         ``builder``: "auto" uses the native C++ builder for large
         meshes when available (identical trees), "native" forces it,
-        "numpy" forces the Python path."""
+        "numpy" forces the Python path.
+
+        ``min_leaf_size`` defaults to 8 (the reference splits to single
+        triangles, BVHTree.hpp:214; pass 1 for that) — wider leaves fit
+        the packet kernel's 8-triangles-per-step shape and shrink the
+        wide-BVH node table. Rendered images are identical either way;
+        only traversal cost changes."""
         v0 = np.asarray(v0, np.float32).reshape(-1, 3)
         v1 = np.asarray(v1, np.float32).reshape(-1, 3)
         v2 = np.asarray(v2, np.float32).reshape(-1, 3)
@@ -85,11 +92,13 @@ class MeshPrimitive:
                 builder == "auto" and num >= 4096 and accel.native.native_available()
             )
             if use_native:
-                bvh = accel.native.build_bvh_native(v0, v1, v2, max_depth=max_depth)
+                bvh = accel.native.build_bvh_native(
+                    v0, v1, v2, max_depth=max_depth, min_leaf_size=min_leaf_size
+                )
             elif builder == "native":
                 raise RuntimeError("native BVH builder unavailable")
         if bvh is None:
-            bvh = build_bvh(v0, v1, v2, max_depth=max_depth)
+            bvh = build_bvh(v0, v1, v2, max_depth=max_depth, min_leaf_size=min_leaf_size)
         p = bvh.order  # reorder into leaf-contiguous order
         return cls(
             v0=v0[p], v1=v1[p], v2=v2[p], normal=normal[p],

@@ -55,6 +55,10 @@ class SceneArrays:
     node_leaf_start: jax.Array  # [N] i32 (global triangle index)
     node_leaf_count: jax.Array  # [N] i32
     mesh_root: jax.Array  # [M] i32 root node per mesh
+    # 8-wide collapsed BVH (accel/wide.py) — the packet kernel's tree
+    wide_code: jax.Array  # [W] i32 packed child_base / leaf info
+    wide_box: jax.Array  # [W, 8, 6] f32 children boxes
+    wide_root: jax.Array  # [M] i32 wide root per mesh
     # Instances (inverses precomputed, MeshInstance.hpp:39-46)
     inst_mesh: jax.Array  # [I] i32
     inst_material: jax.Array  # [I] i32
@@ -156,6 +160,15 @@ class Scene:
                 tri_parts[k].append(arr)
             b = mesh.bvh
             internal = b.child_a >= 0
+            # Invariants the packet kernel's packed node codes rely on
+            # (kernels/traversal.py): DFS preorder (left child follows
+            # its parent) and bounded leaf sizes.
+            idx = np.nonzero(internal)[0]
+            assert (b.child_a[idx] == idx + 1).all(), "BVH not DFS preorder"
+            assert b.leaf_count.max(initial=0) < 1024, (
+                f"leaf with {b.leaf_count.max()} triangles exceeds the "
+                "kernel's 10-bit leaf size (degenerate mesh?)"
+            )
             node_parts["min"].append(b.node_min)
             node_parts["max"].append(b.node_max)
             node_parts["ca"].append(np.where(internal, b.child_a + node_off, -1).astype(np.int32))
@@ -194,6 +207,15 @@ class Scene:
         f32 = lambda x: jnp.asarray(np.asarray(x, np.float32))
         i32 = lambda x: jnp.asarray(np.asarray(x, np.int32))
         cat = np.concatenate
+
+        from ..accel.wide import collapse_to_wide
+
+        wide_code, wide_box, wide_root = collapse_to_wide(
+            cat(node_parts["min"]), cat(node_parts["max"]),
+            cat(node_parts["ca"]), cat(node_parts["cb"]),
+            cat(node_parts["ls"]), cat(node_parts["lc"]),
+            np.asarray(mesh_root),
+        )
         return SceneArrays(
             tri_v0=f32(cat(tri_parts["v0"])),
             tri_v1=f32(cat(tri_parts["v1"])),
@@ -210,6 +232,9 @@ class Scene:
             node_leaf_start=i32(cat(node_parts["ls"])),
             node_leaf_count=i32(cat(node_parts["lc"])),
             mesh_root=i32(mesh_root),
+            wide_code=i32(wide_code),
+            wide_box=f32(wide_box),
+            wide_root=i32(wide_root),
             inst_mesh=i32([inst.mesh_index for inst in self.mesh_instances]),
             inst_material=i32([inst.material_index for inst in self.mesh_instances]),
             inst_pose=f32([d["pose"] for d in inv]),
