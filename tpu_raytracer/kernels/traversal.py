@@ -80,9 +80,14 @@ LEAF_BITS = 10
 LEAF_SHIFT = 1 << LEAF_BITS
 MAX_LEAF_TRIS = LEAF_SHIFT - 1
 
-# SMEM scratch slot map (after the stack)
-_S_CODE = STACK_SIZE
-_SMEM_SLOTS = STACK_SIZE + 4
+N_WAVES_CONST = 1  # keep in sync with N_WAVES below
+
+# SMEM scratch slot map (after the per-wave stacks)
+_S_CODE = N_WAVES_CONST * STACK_SIZE  # +s per wave
+_S_PUSH = N_WAVES_CONST * STACK_SIZE + N_WAVES_CONST  # +s per wave
+_SMEM_SLOTS = N_WAVES_CONST * STACK_SIZE + 4 * N_WAVES_CONST
+
+LEAF_UNROLL = 4  # triangles tested per leaf-loop iteration
 
 
 def _quat_rot(qw, qx, qy, qz, vx, vy, vz):
@@ -98,6 +103,9 @@ def _quat_rot(qw, qx, qy, qz, vx, vy, vz):
     return rx, ry, rz
 
 
+N_WAVES = 1  # measured: 2 interleaved waves ran 6% SLOWER (34.9 vs 37 Mrays/s)
+
+
 def _traversal_kernel(
     num_instances: int,
     with_stats: bool,
@@ -106,8 +114,8 @@ def _traversal_kernel(
     (
         inst_tab_ref,  # SMEM [I, 12] f32: quat(4) xyz(3) inv_scale(3) pad
         inst_root_ref,  # SMEM [I] i32 root node id
-        ox_ref, oy_ref, oz_ref,  # VMEM [1, 8, 128] f32 ray origins
-        dx_ref, dy_ref, dz_ref,  # VMEM [1, 8, 128] f32 ray directions
+        ox_ref, oy_ref, oz_ref,  # VMEM [1, 2, 8, 128] f32 ray origins
+        dx_ref, dy_ref, dz_ref,  # VMEM [1, 2, 8, 128] f32 ray directions
         code_ref,  # VMEM [ceil(N/128), 128] i32 packed control words
         nodef_ref,  # VMEM [ceil(N/8), 128] f32 16-lane records: A+B boxes
         trif_ref,  # VMEM [ceil(T/8), 128] f32 16-lane records: A,B,C,n
@@ -116,13 +124,6 @@ def _traversal_kernel(
         t_out_ref, tri_out_ref, inst_out_ref, pops_ref, tests_ref, smem_ref = refs[11:]
     else:
         t_out_ref, tri_out_ref, inst_out_ref, smem_ref = refs[11:]
-
-    wox = ox_ref[0]
-    woy = oy_ref[0]
-    woz = oz_ref[0]
-    wdx = dx_ref[0]
-    wdy = dy_ref[0]
-    wdz = dz_ref[0]
 
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_L), 1)
     lane16 = jax.lax.broadcasted_iota(jnp.int32, (REC_LANES, TILE_L), 1)
@@ -137,16 +138,30 @@ def _traversal_kernel(
         vals = jnp.sum(jnp.where(mask, rep, 0.0), axis=1, keepdims=True)
         return vals + jnp.zeros((REC_LANES, TILE_L), jnp.float32)
 
-    def fetch_code(k):
+    def fetch_code(k, slot):
         """Node control word -> scalar via SMEM round-trip (reduced
         vector values can't drive control flow directly)."""
         row = code_ref[pl.ds(k // TILE_L, 1), :]
-        smem_ref[_S_CODE] = jnp.sum(jnp.where(lane1 == k % TILE_L, row, 0))
-        return smem_ref[_S_CODE]
+        smem_ref[slot] = jnp.sum(jnp.where(lane1 == k % TILE_L, row, 0))
+        return smem_ref[slot]
 
-    t_best = jnp.full((TILE_S, TILE_L), BIG, jnp.float32)
-    tri_best = jnp.full((TILE_S, TILE_L), -1, jnp.int32)
-    inst_best = jnp.full((TILE_S, TILE_L), -1, jnp.int32)
+    # Per-wave ray tiles and best-hit state. Two waves traverse two
+    # DIFFERENT pixel tiles concurrently: their serial fetch->reduce->
+    # sync chains are independent, so the VLIW scheduler interleaves
+    # them and hides most of the per-pop latency that dominates a
+    # single traversal.
+    rays = [
+        tuple(r[0, s] for r in (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref))
+        for s in range(N_WAVES)
+    ]
+    best = [
+        (
+            jnp.full((TILE_S, TILE_L), BIG, jnp.float32),
+            jnp.full((TILE_S, TILE_L), -1, jnp.int32),
+            jnp.full((TILE_S, TILE_L), -1, jnp.int32),
+        )
+        for _ in range(N_WAVES)
+    ]
     n_pops = jnp.int32(0)
     n_tests = jnp.int32(0)
 
@@ -162,19 +177,22 @@ def _traversal_kernel(
         sy = inst_tab_ref[i, 8]
         sz = inst_tab_ref[i, 9]
 
-        # Object-space ray (raycast.cu:32-51)
-        odx, ody, odz = _quat_rot(qw, qx, qy, qz, wdx, wdy, wdz)
-        odx, ody, odz = odx * sx, ody * sy, odz * sz
-        oox, ooy, ooz = _quat_rot(qw, qx, qy, qz, wox - px, woy - py, woz - pz)
-        oox, ooy, ooz = oox * sx, ooy * sy, ooz * sz
-        idx_ = 1.0 / odx
-        idy_ = 1.0 / ody
-        idz_ = 1.0 / odz
+        # Object-space rays per wave (raycast.cu:32-51)
+        obj = []
+        for s in range(N_WAVES):
+            wox, woy, woz, wdx, wdy, wdz = rays[s]
+            odx, ody, odz = _quat_rot(qw, qx, qy, qz, wdx, wdy, wdz)
+            odx, ody, odz = odx * sx, ody * sy, odz * sz
+            oox, ooy, ooz = _quat_rot(qw, qx, qy, qz, wox - px, woy - py, woz - pz)
+            oox, ooy, ooz = oox * sx, ooy * sy, ooz * sz
+            obj.append((oox, ooy, ooz, odx, ody, odz,
+                        1.0 / odx, 1.0 / ody, 1.0 / odz))
 
-        def packet_entry(rec, base, t_cap):
+        def packet_entry(s, rec, base, t_cap):
             """Packet slab test (BVHTree.hpp:40-54) against the box in
             record rows [base, base+6); returns the min entry over lanes
             that beat their best, or BIG."""
+            oox, ooy, ooz, _, _, _, idx_, idy_, idz_ = obj[s]
             bminx = rec[base + 0 : base + 1, :]
             bminy = rec[base + 1 : base + 2, :]
             bminz = rec[base + 2 : base + 3, :]
@@ -198,110 +216,152 @@ def _traversal_kernel(
             hit = (far >= near) & (far > 0.0) & (near < t_cap)
             return jnp.min(jnp.where(hit, near, BIG))
 
-        def leaf_fn(args):
-            code, sp, t_b, tri_b, in_b, np_, nt_ = args
-            packed = -code - 1
-            start = packed >> LEAF_BITS
-            count = packed & MAX_LEAF_TRIS
-
-            def tri_body(k, acc):
-                t_b, tri_b, in_b = acc
-                rec = fetch_record(trif_ref, k)
-                ax = rec[0:1, :]
-                ay = rec[1:2, :]
-                az = rec[2:3, :]
-                bx = rec[3:4, :]
-                by = rec[4:5, :]
-                bz = rec[5:6, :]
-                cx = rec[6:7, :]
-                cy = rec[7:8, :]
-                cz = rec[8:9, :]
-                nx = rec[9:10, :]
-                ny = rec[10:11, :]
-                nz = rec[11:12, :]
-                # plane hit (TrianglePrimitive.hpp:62-79); accept test
-                # denom <= -eps folds in the backface cull
-                # (raycast.cu:107-109)
-                denom = odx * nx + ody * ny + odz * nz
-                safe = jnp.where(jnp.abs(denom) < PARALLEL_EPS, 1.0, denom)
-                t = ((ax - oox) * nx + (ay - ooy) * ny + (az - ooz) * nz) / safe
-                pxl = oox + t * odx
-                pyl = ooy + t * ody
-                pzl = ooz + t * odz
-                # barycentric (TrianglePrimitive.hpp:151-169):
-                # e0 = C - A, e1 = B - A, e2 = P - A
-                e0x, e0y, e0z = cx - ax, cy - ay, cz - az
-                e1x, e1y, e1z = bx - ax, by - ay, bz - az
-                e2x, e2y, e2z = pxl - ax, pyl - ay, pzl - az
-                dot00 = e0x * e0x + e0y * e0y + e0z * e0z
-                dot01 = e0x * e1x + e0y * e1y + e0z * e1z
-                dot11 = e1x * e1x + e1y * e1y + e1z * e1z
-                dot02 = e0x * e2x + e0y * e2y + e0z * e2z
-                dot12 = e1x * e2x + e1y * e2y + e1z * e2z
-                inv_den = 1.0 / (dot00 * dot11 - dot01 * dot01)
-                u = (dot11 * dot02 - dot01 * dot12) * inv_den
-                v = (dot00 * dot12 - dot01 * dot02) * inv_den
-                ok = (
-                    (denom <= -PARALLEL_EPS)
-                    & (t >= 0.0)
-                    & (u >= 0.0)
-                    & (v >= 0.0)
-                    & (u + v <= 1.0)
-                    & (t < t_b)
-                )
-                return (
-                    jnp.where(ok, t, t_b),
-                    jnp.where(ok, k, tri_b),
-                    jnp.where(ok, i, in_b),
-                )
-
-            acc = jax.lax.fori_loop(start, start + count, tri_body, (t_b, tri_b, in_b))
-            return (sp,) + acc + (np_, nt_ + count)
-
-        def body(carry):
-            sp, t_b, tri_b, in_b, np_, nt_ = carry
-            sp = sp - 1
-            node = smem_ref[sp]
-            code = fetch_code(node)
-            np_ = np_ + 1
-
-            def internal(args):
-                code, sp, t_b, tri_b, in_b, np_, nt_ = args
-                ca = node + 1  # DFS preorder: left child follows parent
-                cb = code
-                rec = fetch_record(nodef_ref, node)
-                da = packet_entry(rec, 0, t_b)
-                db = packet_entry(rec, 6, t_b)
-                # Ordered push: far child first, near child last so it
-                # pops first (raycast.cu:72-79).
-                a_near = da <= db
-                far = jnp.where(a_near, cb, ca)
-                d_far = jnp.where(a_near, db, da)
-                near = jnp.where(a_near, ca, cb)
-                d_near = jnp.where(a_near, da, db)
-                smem_ref[sp] = far
-                sp = sp + (d_far < BIG).astype(jnp.int32)
-                smem_ref[sp] = near
-                sp = sp + (d_near < BIG).astype(jnp.int32)
-                return sp, t_b, tri_b, in_b, np_, nt_
-
-            return jax.lax.cond(
-                code < 0, leaf_fn, internal,
-                (code, sp, t_b, tri_b, in_b, np_, nt_),
+        def test_tri(s, k, live, t_b, tri_b, in_b):
+            """Dense masked test of triangle k against wave s\'s tile
+            (TrianglePrimitive.hpp:62-79, 151-169; cull raycast.cu:107-109)."""
+            oox, ooy, ooz, odx, ody, odz, _, _, _ = obj[s]
+            rec = fetch_record(trif_ref, k)
+            ax = rec[0:1, :]
+            ay = rec[1:2, :]
+            az = rec[2:3, :]
+            bx = rec[3:4, :]
+            by = rec[4:5, :]
+            bz = rec[5:6, :]
+            cx = rec[6:7, :]
+            cy = rec[7:8, :]
+            cz = rec[8:9, :]
+            nx = rec[9:10, :]
+            ny = rec[10:11, :]
+            nz = rec[11:12, :]
+            denom = odx * nx + ody * ny + odz * nz
+            safe = jnp.where(jnp.abs(denom) < PARALLEL_EPS, 1.0, denom)
+            t = ((ax - oox) * nx + (ay - ooy) * ny + (az - ooz) * nz) / safe
+            pxl = oox + t * odx
+            pyl = ooy + t * ody
+            pzl = ooz + t * odz
+            # barycentric: e0 = C - A, e1 = B - A, e2 = P - A
+            e0x, e0y, e0z = cx - ax, cy - ay, cz - az
+            e1x, e1y, e1z = bx - ax, by - ay, bz - az
+            e2x, e2y, e2z = pxl - ax, pyl - ay, pzl - az
+            dot00 = e0x * e0x + e0y * e0y + e0z * e0z
+            dot01 = e0x * e1x + e0y * e1y + e0z * e1z
+            dot11 = e1x * e1x + e1y * e1y + e1z * e1z
+            dot02 = e0x * e2x + e0y * e2y + e0z * e2z
+            dot12 = e1x * e2x + e1y * e2y + e1z * e2z
+            inv_den = 1.0 / (dot00 * dot11 - dot01 * dot01)
+            u = (dot11 * dot02 - dot01 * dot12) * inv_den
+            v = (dot00 * dot12 - dot01 * dot02) * inv_den
+            ok = (
+                live
+                & (denom <= -PARALLEL_EPS)
+                & (t >= 0.0)
+                & (u >= 0.0)
+                & (v >= 0.0)
+                & (u + v <= 1.0)
+                & (t < t_b)
+            )
+            return (
+                jnp.where(ok, t, t_b),
+                jnp.where(ok, k, tri_b),
+                jnp.where(ok, i, in_b),
             )
 
-        smem_ref[0] = inst_root_ref[i]
-        carry = (jnp.int32(1), t_best, tri_best, inst_best, n_pops, n_tests)
-        _, t_best, tri_best, inst_best, n_pops, n_tests = jax.lax.while_loop(
-            lambda c: c[0] > 0, body, carry
-        )
+        def pop_internal(s, sp, t_b):
+            """Straight-line pop + child tests for wave s, masked by
+            the wave\'s liveness (no lax.cond: branch regions fence the
+            scheduler). Returns (sp\', leaf start, leaf count, active)."""
+            active = (sp > 0).astype(jnp.int32)
+            spm = jnp.maximum(sp - active, 0)
+            node = smem_ref[s * STACK_SIZE + spm]
+            code = fetch_code(node, _S_CODE + s)
+            is_int = ((code >= 0).astype(jnp.int32)) * active
 
-    t_out_ref[0] = jnp.where(t_best >= BIG, _FLT_MAX, t_best)
-    tri_out_ref[0] = tri_best
-    inst_out_ref[0] = inst_best
+            ca = node + 1  # DFS preorder: left child follows parent
+            cb = jnp.maximum(code, 0)
+            rec = fetch_record(nodef_ref, node)
+            da = packet_entry(s, rec, 0, t_b)
+            db = packet_entry(s, rec, 6, t_b)
+            # Ordered push, far child first (raycast.cu:72-79); all
+            # vector-derived decisions in ONE sync word.
+            a_near = (da <= db).astype(jnp.int32)
+            push_a = (da < BIG).astype(jnp.int32)
+            push_b = (db < BIG).astype(jnp.int32)
+            smem_ref[_S_PUSH + s] = a_near + 2 * push_a + 4 * push_b
+            w_ = smem_ref[_S_PUSH + s] * is_int
+            a_first = 1 - (w_ & 1)
+            pa = (w_ >> 1) & 1
+            pb = (w_ >> 2) & 1
+            first = jnp.where(a_first == 1, ca, cb)
+            p_first = jnp.where(a_first == 1, pa, pb)
+            second = jnp.where(a_first == 1, cb, ca)
+            p_second = jnp.where(a_first == 1, pb, pa)
+            smem_ref[s * STACK_SIZE + spm] = first
+            sp1 = spm + p_first
+            smem_ref[s * STACK_SIZE + sp1] = second
+            sp1 = sp1 + p_second
+
+            packed = -code - 1
+            start = packed >> LEAF_BITS
+            leaf_flag = active - is_int  # 1 only for an active leaf pop
+            count = (packed & MAX_LEAF_TRIS) * leaf_flag
+            return sp1, start, count, active
+
+        def leaf_loop(s, start, count, st):
+            def quad_body(q, acc):
+                t_b, tri_b, in_b = acc
+                k0 = start + q * LEAF_UNROLL
+                for u_ in range(LEAF_UNROLL):
+                    k = k0 + u_
+                    t_b, tri_b, in_b = test_tri(
+                        s, k, k < start + count, t_b, tri_b, in_b
+                    )
+                return t_b, tri_b, in_b
+
+            n_quads = (count + LEAF_UNROLL - 1) // LEAF_UNROLL
+            return jax.lax.fori_loop(0, n_quads, quad_body, st)
+
+        def body(carry):
+            sps, states, np_, nt_ = carry
+            # interleave all waves' pop chains before the leaf loops
+            pops = [
+                pop_internal(s, sps[s], states[s][0]) for s in range(N_WAVES)
+            ]
+            states = tuple(
+                leaf_loop(s, pops[s][1], pops[s][2], states[s])
+                for s in range(N_WAVES)
+            )
+            for s in range(N_WAVES):
+                np_ = np_ + pops[s][3]
+                nt_ = nt_ + pops[s][2]
+            return tuple(p[0] for p in pops), states, np_, nt_
+
+        root = inst_root_ref[i]
+        for s in range(N_WAVES):
+            smem_ref[s * STACK_SIZE] = root
+        carry = (
+            (jnp.int32(1),) * N_WAVES,
+            tuple(best),
+            n_pops,
+            n_tests,
+        )
+        carry = jax.lax.while_loop(
+            lambda c: functools.reduce(
+                lambda a, b: a | b, [sp > 0 for sp in c[0]]
+            ),
+            body,
+            carry,
+        )
+        sps_f, states_f, n_pops, n_tests = carry
+        best = list(states_f)
+
+    ts = jnp.stack([jnp.where(b[0] >= BIG, _FLT_MAX, b[0]) for b in best])
+    t_out_ref[0] = ts
+    tri_out_ref[0] = jnp.stack([b[1] for b in best])
+    inst_out_ref[0] = jnp.stack([b[2] for b in best])
     if with_stats:
-        pops_ref[0] = jnp.zeros((TILE_S, TILE_L), jnp.int32) + n_pops
-        tests_ref[0] = jnp.zeros((TILE_S, TILE_L), jnp.int32) + n_tests
+        zeros = jnp.zeros((N_WAVES, TILE_S, TILE_L), jnp.int32)
+        pops_ref[0] = zeros + n_pops
+        tests_ref[0] = zeros + n_tests
 
 
 def _pack128(a: jax.Array, fill) -> jax.Array:
@@ -318,9 +378,10 @@ def _pack_records(fields, num) -> jax.Array:
     per 128-lane row: element k lives at [k // 8, (k % 8) * 16 + j]."""
     cols = list(fields) + [jnp.zeros(num, jnp.float32)] * (REC_LANES - len(fields))
     rec = jnp.stack(cols, axis=1)  # [num, 16]
-    pad = (-num) % REC_PER_ROW
-    if pad:
-        rec = jnp.concatenate([rec, jnp.zeros((pad, REC_LANES), jnp.float32)])
+    # one extra row of padding so the unrolled leaf loop's overshoot
+    # reads (masked off) stay in bounds
+    pad = (-num) % REC_PER_ROW + REC_PER_ROW
+    rec = jnp.concatenate([rec, jnp.zeros((pad, REC_LANES), jnp.float32)])
     return rec.reshape(-1, TILE_L)
 
 
@@ -379,14 +440,24 @@ def _stats_enabled() -> bool:
 
 
 def _run_kernel(scene: SceneArrays, tiled, interpret: bool):
-    """Invoke the pallas traversal over [n_tiles, 8, 128] ray tiles."""
+    """Invoke the pallas traversal over [n_tiles, 8, 128] ray tiles,
+    regrouped as [n_groups, N_WAVES, 8, 128] (N_WAVES interleaved
+    traversals per grid step)."""
+    tiled = list(tiled)
+    n_tiles = tiled[0].shape[0]
+    pad = (-n_tiles) % N_WAVES
+    for k in range(6):
+        a = tiled[k]
+        if pad:
+            a = jnp.concatenate([a, jnp.broadcast_to(a[-1:], (pad,) + a.shape[1:])])
+        tiled[k] = a.reshape(-1, N_WAVES, TILE_S, TILE_L)
     ox, oy, oz, dx, dy, dz = tiled
-    n_tiles = ox.shape[0]
+    n_groups = ox.shape[0]
     (inst_tab, inst_root), node_arrays, tri_arrays = _scene_kernel_inputs(scene)
     with_stats = _stats_enabled()
 
     ray_spec = pl.BlockSpec(
-        (1, TILE_S, TILE_L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (1, N_WAVES, TILE_S, TILE_L), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
     )
     vmem_whole = lambda a: pl.BlockSpec(
         a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.VMEM
@@ -402,25 +473,28 @@ def _run_kernel(scene: SceneArrays, tiled, interpret: bool):
         + [vmem_whole(a) for a in node_arrays]
         + [vmem_whole(a) for a in tri_arrays]
     )
-    f32s = jax.ShapeDtypeStruct((n_tiles, TILE_S, TILE_L), jnp.float32)
-    i32s = jax.ShapeDtypeStruct((n_tiles, TILE_S, TILE_L), jnp.int32)
+    f32s = jax.ShapeDtypeStruct((n_groups, N_WAVES, TILE_S, TILE_L), jnp.float32)
+    i32s = jax.ShapeDtypeStruct((n_groups, N_WAVES, TILE_S, TILE_L), jnp.int32)
     out_shape = (f32s, i32s, i32s) + ((i32s, i32s) if with_stats else ())
     kernel = functools.partial(_traversal_kernel, scene.num_instances, with_stats)
     outs = pl.pallas_call(
         kernel,
-        grid=(n_tiles,),
+        grid=(n_groups,),
         in_specs=in_specs,
         out_specs=(ray_spec,) * len(out_shape),
         out_shape=out_shape,
         scratch_shapes=[pltpu.SMEM((_SMEM_SLOTS,), jnp.int32)],
         interpret=interpret,
     )(*inputs)
+    unpack = lambda a: a.reshape(-1, TILE_S, TILE_L)[:n_tiles]
     if with_stats:
         t, tri, inst, pops, tests = outs
-        _LAST_STATS["pops"] = pops[:, 0, 0]
-        _LAST_STATS["tests"] = tests[:, 0, 0]
+        # counters are per-GROUP (summed over the waves)
+        _LAST_STATS["pops"] = pops[:, 0, 0, 0]
+        _LAST_STATS["tests"] = tests[:, 0, 0, 0]
+        t, tri, inst = unpack(t), unpack(tri), unpack(inst)
     else:
-        t, tri, inst = outs
+        t, tri, inst = (unpack(a) for a in outs)
     return t, tri, inst
 
 
