@@ -1,13 +1,22 @@
 """Test configuration: run everything on CPU with 8 virtual devices so
-multi-chip sharding tests work without a TPU pod (SURVEY.md §4)."""
+multi-chip sharding tests work without a TPU pod (SURVEY.md §4).
+
+The environment's sitecustomize (PYTHONPATH=/root/.axon_site) imports
+jax and registers the axon TPU backend at interpreter startup with
+JAX_PLATFORMS=axon, so plain env vars set here are too late — but the
+backends are not yet initialized at conftest time, so jax.config
+updates still take effect.
+"""
 
 import os
 
-# Force (not setdefault): the environment pre-sets JAX_PLATFORMS=axon,
-# which would silently route "CPU" tests to the real TPU.
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"  # for any late jax re-reads
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
+assert jax.default_backend() == "cpu", (
+    "tests must run on CPU; axon backend was already initialized"
+)

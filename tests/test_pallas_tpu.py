@@ -1,0 +1,56 @@
+"""Pallas kernel correctness on real TPU hardware.
+
+These are skipped in the CPU test suite (interpret mode is far too slow
+for pytest) and run manually on the chip:
+
+    JAX_PLATFORMS=axon python -m pytest tests/test_pallas_tpu.py -q --no-header -p no:cacheprovider
+
+(Setting JAX_PLATFORMS before pytest overrides conftest's CPU forcing
+is NOT possible — conftest assigns it; use the script below instead.)
+
+    python tests/test_pallas_tpu.py   # runs as a script on the TPU
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+RUN_AS_SCRIPT = __name__ == "__main__"
+if not RUN_AS_SCRIPT:
+    import jax
+
+    pytestmark = pytest.mark.skipif(
+        jax.default_backend() != "tpu", reason="needs real TPU"
+    )
+
+
+def _checks():
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from test_render import cube_scene, sphere_scene
+
+    from tpu_raytracer.render import render
+
+    # same-device oracle comparisons (the CPU golden file differs by
+    # platform fp variance in rsqrt/transcendentals)
+    arrays, cam = cube_scene(textured=True)
+    a = np.asarray(render(cam, arrays, backend="pallas"))
+    b = np.asarray(render(cam, arrays, backend="brute"))
+    assert (a == b).all(), "pallas != brute on textured cube"
+
+    arrays2, cam2 = sphere_scene(3)
+    a = np.asarray(render(cam2, arrays2, backend="pallas"))
+    b = np.asarray(render(cam2, arrays2, backend="brute"))
+    assert (a == b).all(), "pallas != brute on deformed sphere"
+    return True
+
+
+def test_pallas_matches_goldens_on_tpu():
+    assert _checks()
+
+
+if RUN_AS_SCRIPT:
+    _checks()
+    print("pallas TPU checks OK")

@@ -58,45 +58,80 @@ def run(
     out: str = "out.png",
     animate: bool = True,
     lighting: str = "flat",
+    scene_name: str = "demo",
+    mode: str = "primary",
+    fly: bool = False,
 ):
-    """The 100-frame render loop (kernel.cu:266-296)."""
+    """The render loop (kernel.cu:266-296): N timed frames, FPS printed
+    per frame, final frame saved with the FPS overlay.
+
+    ``mode``: primary (reference parity) | whitted (config 4) |
+    path (config 5). ``fly`` animates the camera (config 5 fly-through);
+    ``animate`` spins instance 0 (the reference's disabled teapot spin,
+    kernel.cu:272-273).
+    """
     if backend is None:
         backend = "pallas" if jax.default_backend() == "tpu" else "bvh"
-    scene = build_demo_scene()
-    arrays = scene.compile()
 
-    # Real fisheye calibration from the reference (kernel.cu:158-164)
-    D = np.array(
-        [0.016233999489849514, -0.013875757716177956,
-         0.03264329940126211, -0.019561619947134234],
-        np.float32,
-    )
-    K = np.array(
-        [[862.097835972576, 0.0, 998.1702383680802],
-         [0.0, 862.1368447300727, 569.6759403225842],
-         [0.0, 0.0, 1.0]],
-        np.float32,
-    ) if (width, height) == (1920, 1088) else None
-    if K is not None:
-        camera = Camera(width, height, K, D)
+    if scene_name == "demo":
+        scene = build_demo_scene()
+        arrays = scene.compile()
+        # Real fisheye calibration from the reference (kernel.cu:158-164)
+        D = np.array(
+            [0.016233999489849514, -0.013875757716177956,
+             0.03264329940126211, -0.019561619947134234],
+            np.float32,
+        )
+        K = np.array(
+            [[862.097835972576, 0.0, 998.1702383680802],
+             [0.0, 862.1368447300727, 569.6759403225842],
+             [0.0, 0.0, 1.0]],
+            np.float32,
+        ) if (width, height) == (1920, 1088) else None
+        if K is not None:
+            camera = Camera(width, height, K, D)
+        else:
+            camera = Camera.looking(width, height, fov_deg=60.0)
+        camera.pose = np.array([-1.0, -4.0, 2.0, 0, 0, 0], np.float32)
     else:
-        camera = Camera.looking(width, height, fov_deg=60.0)
-    camera.pose = np.array([-1.0, -4.0, 2.0, 0, 0, 0], np.float32)
+        from .scenes import SCENES
+
+        arrays, camera = SCENES[scene_name](width, height) \
+            if scene_name != "cube" and scene_name != "cornell" \
+            else SCENES[scene_name](min(width, height))
+        width, height = camera.width, camera.height
+
+    from ..render.pipeline import render_image_path_traced, render_image_whitted
 
     config = RenderConfig(width=width, height=height, backend=backend, lighting=lighting)
+    key = jax.random.PRNGKey(0)
     fps = 0.0
     angle = 0.0
     img = None
     for frame in range(frames):
         angle += 0.005
-        if animate:
+        if animate and scene_name == "demo":
             spun = MeshInstance(0, 2)
             spun.pose = np.array([0, 0, 0, angle, 0, 0], np.float32)
             arrays = arrays.update_instance(0, spun)
+        if fly:
+            from .controls import fly as fly_step
+
+            camera.pose = fly_step(camera.pose, forward=0.03)
+            camera.pose[3] += 0.004
 
         start = time.perf_counter()
         p = camera.ray_params()
-        img = render_image(config, arrays, p["K_inv"], p["D"], p["pose"], p["inv_pose"])
+        args = (config, arrays, p["K_inv"], p["D"], p["pose"], p["inv_pose"])
+        if mode == "primary":
+            img = render_image(*args)
+        elif mode == "whitted":
+            img = render_image_whitted(*args)
+        elif mode == "path":
+            key, sub = jax.random.split(key)
+            img = render_image_path_traced(*args, sub)
+        else:
+            raise ValueError(f"unknown mode {mode}")
         jax.block_until_ready(img)
         elapsed = time.perf_counter() - start
         fps = 1.0 / elapsed
@@ -115,13 +150,21 @@ def main():
     ap.add_argument("--backend", default=None, choices=["brute", "bvh", "pallas"])
     ap.add_argument("--lighting", default="flat",
                     choices=["flat", "lambert", "lambert_shadow"])
+    ap.add_argument("--scene", default="demo",
+                    choices=["demo", "cube", "cornell", "bunny",
+                             "instances", "colonnade"])
+    ap.add_argument("--mode", default="primary",
+                    choices=["primary", "whitted", "path"])
+    ap.add_argument("--fly", action="store_true",
+                    help="animated camera fly-through")
     ap.add_argument("--out", default="out.png")
     ap.add_argument("--no-animate", action="store_true")
     args = ap.parse_args()
     run(
         width=args.width, height=args.height, frames=args.frames,
         backend=args.backend, out=args.out, animate=not args.no_animate,
-        lighting=args.lighting,
+        lighting=args.lighting, scene_name=args.scene, mode=args.mode,
+        fly=args.fly,
     )
 
 

@@ -1,0 +1,126 @@
+"""The five staged benchmark scenes from BASELINE.md, as builders.
+
+| # | config | builder |
+|---|--------|---------|
+| 1 | cube, pinhole, 256^2, flat Lambert | scene_cube |
+| 2 | Cornell box, Lambert + hard shadows, 512^2 | scene_cornell |
+| 3 | bunny-class 82k tris, full BVH, 1080p | scene_bunny |
+| 4 | multi-instance + Whitted reflective bounces | scene_instances |
+| 5 | Sponza-class 250k+ tris, path tracing, fly-through | scene_colonnade |
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..render import Camera
+from ..scene import (
+    Material,
+    MeshInstance,
+    MeshPrimitive,
+    Scene,
+    objloader,
+    procgen,
+)
+
+
+def scene_cube(size: int = 256):
+    scene = Scene()
+    mat = Material()
+    mat.set_texture(procgen.checkerboard_texture(128, 8))
+    scene.add_material(mat)
+    scene.add_mesh(objloader.loads(procgen.cube_obj()))
+    scene.add_mesh_instance(MeshInstance(0, 0))
+    cam = Camera.looking(size, size, fov_deg=45.0, pose=[0, -4, 0, 0, 0, 0])
+    return scene.compile(), cam
+
+
+def scene_cornell(size: int = 512, mirror: bool = False):
+    scene = Scene()
+    white = scene.add_material(Material(albedo=(0.9, 0.9, 0.9)))
+    red = scene.add_material(Material(albedo=(0.1, 0.1, 0.9)))
+    green = scene.add_material(Material(albedo=(0.1, 0.9, 0.1)))
+    box_mat = scene.add_material(
+        Material(albedo=(0.95, 0.95, 0.95), reflectivity=0.7 if mirror else 0.0)
+    )
+    mats = {"floor": white, "ceiling": white, "back": white,
+            "left": red, "right": green}
+    for name, tris in procgen.cornell_box().items():
+        mid = scene.add_mesh(
+            MeshPrimitive.from_triangles(tris[:, 0], tris[:, 1], tris[:, 2])
+        )
+        scene.add_mesh_instance(MeshInstance(mid, mats[name]))
+    cube = scene.add_mesh(objloader.loads(procgen.cube_obj(0.6)))
+    inst = MeshInstance(cube, box_mat)
+    inst.pose = np.array([1.0, 1.2, 0.3, 0.4, 0, 0], np.float32)
+    scene.add_mesh_instance(inst)
+    cam = Camera.looking(size, size, fov_deg=70.0, pose=[1.0, -0.8, 1.0, 0, 0, 0])
+    return scene.compile(), cam
+
+
+def scene_bunny(width: int = 1920, height: int = 1088, subdivisions: int = 6):
+    scene = Scene()
+    scene.add_material(Material(albedo=(0.8, 0.3, 0.2)))
+    v0, v1, v2 = procgen.blob(subdivisions=subdivisions)
+    scene.add_mesh(MeshPrimitive.from_triangles(v0, v1, v2))
+    scene.add_mesh_instance(MeshInstance(0, 0))
+    cam = Camera.looking(width, height, fov_deg=50.0, pose=[0.0, -3.2, 0.0, 0, 0, 0])
+    return scene.compile(), cam
+
+
+def scene_instances(width: int = 512, height: int = 512):
+    """Config 4: several posed/scaled instances, one mirror."""
+    scene = Scene()
+    matte = scene.add_material(Material(albedo=(0.9, 0.9, 0.9)))
+    blue = scene.add_material(Material(albedo=(0.9, 0.2, 0.1)))
+    mirror = scene.add_material(Material(albedo=(0.95, 0.95, 0.95), reflectivity=0.8))
+    tex = Material()
+    tex.set_texture(procgen.checkerboard_texture(128, 8))
+    texid = scene.add_material(tex)
+
+    sphere = scene.add_mesh(
+        MeshPrimitive.from_triangles(*procgen.icosphere(4))
+    )
+    cube = scene.add_mesh(objloader.loads(procgen.cube_obj()))
+    board = scene.add_mesh(objloader.loads(procgen.board_obj(8, 8)))
+
+    floor = MeshInstance(board, texid)
+    floor.pose = np.array([0, 2, -1.2, 0, 0, np.pi], np.float32)  # face up
+    scene.add_mesh_instance(floor)
+    a = MeshInstance(sphere, mirror)
+    a.pose = np.array([-1.2, 2.5, 0.0, 0, 0, 0], np.float32)
+    scene.add_mesh_instance(a)
+    b = MeshInstance(cube, blue)
+    b.pose = np.array([1.1, 2.0, -0.6, 0.5, 0, 0], np.float32)
+    b.scale = np.array([0.8, 0.8, 1.4], np.float32)
+    scene.add_mesh_instance(b)
+    c = MeshInstance(sphere, matte)
+    c.pose = np.array([0.3, 3.5, -0.7, 0, 0, 0], np.float32)
+    c.scale = np.array([0.5, 0.5, 0.5], np.float32)
+    scene.add_mesh_instance(c)
+    cam = Camera.looking(width, height, fov_deg=60.0, pose=[0, -1.5, 0.3, 0, 0, 0])
+    return scene.compile(), cam
+
+
+def scene_colonnade(width: int = 1024, height: int = 1024,
+                    columns: int = 10, segs: int = 32):
+    """Config 5: Sponza-class triangle count (10x10x40x32 -> ~256k)."""
+    scene = Scene()
+    scene.add_material(Material(albedo=(0.85, 0.8, 0.75)))
+    v0, v1, v2 = procgen.colonnade(columns, columns, segs)
+    scene.add_mesh(MeshPrimitive.from_triangles(v0, v1, v2))
+    scene.add_mesh_instance(MeshInstance(0, 0))
+    cam = Camera.looking(
+        width, height, fov_deg=65.0,
+        pose=[1.0, -2.0, 1.6, 0, 0, 0],
+    )
+    return scene.compile(), cam
+
+
+SCENES = {
+    "cube": scene_cube,
+    "cornell": scene_cornell,
+    "bunny": scene_bunny,
+    "instances": scene_instances,
+    "colonnade": scene_colonnade,
+}

@@ -1,5 +1,11 @@
 from .camera import Camera, default_intrinsics, generate_rays
-from .pipeline import RenderConfig, render, render_image
+from .pipeline import (
+    RenderConfig,
+    render,
+    render_image,
+    render_image_path_traced,
+    render_image_whitted,
+)
 from .renderer import (
     Hit,
     HitAttributes,
@@ -15,6 +21,8 @@ __all__ = [
     "Hit",
     "HitAttributes",
     "RenderConfig",
+    "render_image_path_traced",
+    "render_image_whitted",
     "cast_rays_brute",
     "cast_rays_bvh",
     "default_intrinsics",

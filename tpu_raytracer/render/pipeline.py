@@ -62,3 +62,57 @@ def render(camera: Camera, scene: SceneArrays, config: RenderConfig | None = Non
         config = RenderConfig(width=camera.width, height=camera.height, **kw)
     p = camera.ray_params()
     return render_image(config, scene, p["K_inv"], p["D"], p["pose"], p["inv_pose"])
+
+
+@functools.partial(jax.jit, static_argnums=(0, 6, 7))
+def render_image_whitted(
+    config: RenderConfig,
+    scene: SceneArrays,
+    K_inv: jax.Array,
+    D: jax.Array,
+    pose: jax.Array,
+    inv_pose: jax.Array,
+    max_bounces: int = 2,
+    shadows: bool = True,
+) -> jax.Array:
+    """Whitted reflective render -> uint8 [H, W, 3] (BASELINE config 4)."""
+    from .integrators import render_whitted, to_u8
+
+    origin, directions = generate_rays(
+        config.width, config.height, K_inv, D, pose, inv_pose,
+        exact=config.exact_math,
+    )
+    radiance = render_whitted(
+        scene, origin, directions,
+        max_bounces=max_bounces, backend=config.backend,
+        light_direction=config.light_direction, shadows=shadows,
+        exact=config.exact_math,
+    )
+    return to_u8(radiance)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 7, 8))
+def render_image_path_traced(
+    config: RenderConfig,
+    scene: SceneArrays,
+    K_inv: jax.Array,
+    D: jax.Array,
+    pose: jax.Array,
+    inv_pose: jax.Array,
+    key: jax.Array,
+    max_bounces: int = 3,
+    samples: int = 4,
+) -> jax.Array:
+    """Monte-Carlo path-traced render -> uint8 (BASELINE config 5)."""
+    from .integrators import render_path_traced, to_u8
+
+    origin, directions = generate_rays(
+        config.width, config.height, K_inv, D, pose, inv_pose,
+        exact=config.exact_math,
+    )
+    radiance = render_path_traced(
+        scene, origin, directions, key,
+        max_bounces=max_bounces, samples=samples, backend=config.backend,
+        exact=config.exact_math,
+    )
+    return to_u8(radiance)

@@ -150,42 +150,67 @@ def blob(subdivisions: int = 6, radius: float = 1.0, seed: int = 7) -> tuple[np.
     return displace(v0), displace(v1), displace(v2)
 
 
-def colonnade(columns_x: int = 10, columns_y: int = 10, segs: int = 24) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Sponza-class stress scene: a hall of fluted cylinders on a floor
-    slab. columns_x * columns_y * segs * ~14 triangles (10x10x24 ->
-    ~250k with detail rings)."""
-    tris = []
-
-    def add_quad(a, b, c, d):
-        tris.append((a, b, c))
-        tris.append((a, c, d))
-
-    # floor
-    w = columns_x * 2.0
-    h = columns_y * 2.0
-    add_quad((0, 0, 0), (w, 0, 0), (w, h, 0), (0, h, 0))
-
+def colonnade(
+    columns_x: int = 10,
+    columns_y: int = 10,
+    segs: int = 32,
+    bands: int = 40,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Sponza-class stress scene: a hall of fluted, entasis-profiled
+    cylinders on a floor slab. Triangles ~= columns_x * columns_y *
+    bands * segs * 2 (10x10x40x32 -> 256k)."""
     theta = np.linspace(0, 2 * np.pi, segs, endpoint=False)
-    for ix in range(columns_x):
-        for iy in range(columns_y):
-            cx, cy = ix * 2.0 + 1.0, iy * 2.0 + 1.0
-            r = 0.3 + 0.05 * np.cos(theta * 8)  # fluting
-            # column: rings at several heights
-            heights = [0.0, 0.8, 1.6, 2.4, 3.2]
-            radii = [r * 1.15, r, r, r, r * 1.15]
-            for k in range(len(heights) - 1):
-                z0, z1 = heights[k], heights[k + 1]
-                r0, r1 = radii[k], radii[k + 1]
-                for s in range(segs):
-                    s2 = (s + 1) % segs
-                    a = (cx + r0[s] * np.cos(theta[s]), cy + r0[s] * np.sin(theta[s]), z0)
-                    b = (cx + r0[s2] * np.cos(theta[s2]), cy + r0[s2] * np.sin(theta[s2]), z0)
-                    c = (cx + r1[s2] * np.cos(theta[s2]), cy + r1[s2] * np.sin(theta[s2]), z1)
-                    d = (cx + r1[s] * np.cos(theta[s]), cy + r1[s] * np.sin(theta[s]), z1)
-                    add_quad(a, b, c, d)
+    cos_t, sin_t = np.cos(theta), np.sin(theta)
+    flute = 0.05 * np.cos(theta * 8)
 
-    arr = np.asarray(tris, np.float32)
-    return arr[:, 0], arr[:, 1], arr[:, 2]
+    heights = np.linspace(0.0, 3.2, bands + 1)
+    # entasis: slight bulge toward the lower third, flared capitals
+    prof = 0.3 + 0.03 * np.sin(np.pi * heights / 3.2)
+    prof[0] *= 1.15
+    prof[-1] *= 1.15
+
+    # ring vertices per column template: [bands+1, segs, 3] (local)
+    radii = prof[:, None] + flute[None, :]
+    local = np.stack(
+        [
+            radii * cos_t[None, :],
+            radii * sin_t[None, :],
+            np.broadcast_to(heights[:, None], radii.shape),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+
+    s2 = (np.arange(segs) + 1) % segs
+    a = local[:-1, :, :]  # [bands, segs, 3]
+    b = local[:-1, s2, :]
+    c = local[1:, s2, :]
+    d = local[1:, :, :]
+    # two triangles per quad, outward winding
+    t1 = np.stack([a, b, c], axis=2).reshape(-1, 3, 3)
+    t2 = np.stack([a, c, d], axis=2).reshape(-1, 3, 3)
+    template = np.concatenate([t1, t2])  # [bands*segs*2, 3, 3]
+
+    offsets = np.stack(
+        np.meshgrid(
+            np.arange(columns_x) * 2.0 + 1.0,
+            np.arange(columns_y) * 2.0 + 1.0,
+            indexing="ij",
+        ),
+        axis=-1,
+    ).reshape(-1, 2)
+    tris = template[None, :, :, :] + np.concatenate(
+        [offsets, np.zeros((len(offsets), 1))], axis=1
+    ).astype(np.float32)[:, None, None, :]
+    tris = tris.reshape(-1, 3, 3)
+
+    # floor slab
+    w, h = columns_x * 2.0, columns_y * 2.0
+    floor = np.asarray(
+        [[(0, 0, 0), (w, 0, 0), (w, h, 0)], [(0, 0, 0), (w, h, 0), (0, h, 0)]],
+        np.float32,
+    )
+    tris = np.concatenate([floor, tris])
+    return tris[:, 0].copy(), tris[:, 1].copy(), tris[:, 2].copy()
 
 
 def checkerboard_texture(size: int = 256, squares: int = 8) -> np.ndarray:
