@@ -2,8 +2,9 @@
 
 TPU-native redesign of the reference's per-thread divergent stack walk
 (raycast.cu:54-138). A CUDA thread owns one ray and one stack; a TPU
-core owns a PACKET of 8 x 128 = 1024 coherent rays (one 32 x 32 pixel
-block, a full f32 vreg) and ONE shared node stack in SMEM:
+core owns a PACKET of TILE_S x 128 coherent rays (one PIX_H x PIX_W
+pixel block; 4096 rays measured optimal) and ONE shared node stack in
+SMEM:
 
   * the scalar core pops a node and decides descent order;
   * the VPU tests the node's child AABBs against all 1024 rays at once
@@ -61,12 +62,15 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core import transforms as T
 from ..scene.scene import SceneArrays
 
-TILE_S = 8  # sublanes
+TILE_S = 32  # sublanes (4 vregs per VPU op)
 TILE_L = 128  # lanes
-TILE = TILE_S * TILE_L  # rays per packet
-PIX_TILE = 32  # 32x32 pixel block -> one packet
-PIX_W = PIX_TILE
-PIX_H = PIX_TILE
+TILE = TILE_S * TILE_L  # rays per packet (4096)
+PIX_H = 64  # pixel block height
+PIX_W = 64  # pixel block width (PIX_H * PIX_W == TILE)
+# Packet-size sweep on the 82k-tri 1080p scene (pipelined timing):
+# 32x32 (1024 rays) 74 Mrays/s, 64x64 (4096) 111.6, 64x128 (8192) 103.5
+# -> bigger packets amortize the latency-bound pop loop until union
+# growth wins; 64x64 is the sweet spot.
 STACK_SIZE = 48  # max BVH depth 32 (MeshPrimitive.cpp:54) + slack
 REC_LANES = 16  # lanes per record slot
 REC_PER_ROW = TILE_L // REC_LANES
@@ -422,16 +426,16 @@ def _scene_kernel_inputs(scene: SceneArrays):
 
 
 def _image_to_tiles(arr: jax.Array) -> jax.Array:
-    """[H, W] -> [n_tiles, 8, 128] where each tile is one PIX_TILE^2
-    pixel block (coherent packets)."""
+    """[H, W] -> [n_tiles, TILE_S, TILE_L] where each tile is one
+    PIX_H x PIX_W pixel block (coherent packets)."""
     h, w = arr.shape
-    a = arr.reshape(h // PIX_TILE, PIX_TILE, w // PIX_TILE, PIX_TILE)
+    a = arr.reshape(h // PIX_H, PIX_H, w // PIX_W, PIX_W)
     a = a.transpose(0, 2, 1, 3).reshape(-1, TILE_S, TILE_L)
     return a
 
 
 def _tiles_to_image(tiles: jax.Array, h: int, w: int) -> jax.Array:
-    a = tiles.reshape(h // PIX_TILE, w // PIX_TILE, PIX_TILE, PIX_TILE)
+    a = tiles.reshape(h // PIX_H, w // PIX_W, PIX_H, PIX_W)
     return a.transpose(0, 2, 1, 3).reshape(h, w)
 
 
@@ -511,13 +515,29 @@ def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
+# VMEM budget for the scene tables (triangle records dominate at 64B/tri
+# + node records + code words). Above this the whole-scene-in-VMEM
+# kernel cannot compile; fall back to the XLA gather backend until an
+# HBM-paging traversal variant exists.
+VMEM_SCENE_BUDGET = 12 * 1024 * 1024
+
+
+def _scene_vmem_bytes(scene: SceneArrays) -> int:
+    tri_rows = -(-scene.num_triangles // REC_PER_ROW) + 1
+    node_rows = -(-scene.node_child_a.shape[0] // REC_PER_ROW)
+    code_rows = -(-scene.node_child_a.shape[0] // TILE_L)
+    return (tri_rows + node_rows) * TILE_L * 4 + code_rows * TILE_L * 4
+
+
 def cast_rays_pallas(scene: SceneArrays, origin, directions, interpret=None):
     """Nearest-hit query with the packet kernel. Accepts [H, W, 3]
     directions (tiled as 32x32 coherent pixel blocks) or flat [..., 3]
     (chunked linearly). Returns the same Hit record as the XLA backends.
     """
-    from ..render.renderer import Hit  # local import to avoid cycle
+    from ..render.renderer import Hit, cast_rays_bvh  # local: avoids cycle
 
+    if _scene_vmem_bytes(scene) > VMEM_SCENE_BUDGET:
+        return cast_rays_bvh(scene, origin, directions)
     if interpret is None:
         interpret = not _on_tpu()
     directions = jnp.asarray(directions, jnp.float32)
@@ -526,8 +546,8 @@ def cast_rays_pallas(scene: SceneArrays, origin, directions, interpret=None):
 
     use_2d = (
         len(shape) == 2
-        and shape[0] % PIX_TILE == 0
-        and shape[1] % PIX_TILE == 0
+        and shape[0] % PIX_H == 0
+        and shape[1] % PIX_W == 0
     )
     if use_2d:
         h, w = shape
