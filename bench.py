@@ -28,7 +28,7 @@ def build_bench_scene():
     scene = Scene()
     scene.add_material(Material(albedo=(0.8, 0.3, 0.2)))
     v0, v1, v2 = procgen.blob(subdivisions=6)  # 81 920 tris, bunny-class
-    min_leaf = int(os.environ.get("TRT_MIN_LEAF", "8"))
+    min_leaf = int(os.environ.get("TRT_MIN_LEAF", "16"))
     scene.add_mesh(MeshPrimitive.from_triangles(v0, v1, v2, min_leaf_size=min_leaf))
     inst = MeshInstance(0, 0)
     scene.add_mesh_instance(inst)

@@ -56,7 +56,7 @@ class MeshPrimitive:
         max_depth: int = 32,
         exact_normals: bool = True,
         builder: str = "auto",
-        min_leaf_size: int = 8,
+        min_leaf_size: int = 16,
     ) -> "MeshPrimitive":
         """Build from raw triangle arrays; computes winding normals when
         none are given (TrianglePrimitive.hpp:15-23) and builds the BVH
@@ -66,7 +66,7 @@ class MeshPrimitive:
         meshes when available (identical trees), "native" forces it,
         "numpy" forces the Python path.
 
-        ``min_leaf_size`` defaults to 8 (the reference splits to single
+        ``min_leaf_size`` defaults to 16 (the reference splits to single
         triangles, BVHTree.hpp:214; pass 1 for that) — wider leaves fit
         the packet kernel's 8-triangles-per-step shape and shrink the
         wide-BVH node table. Rendered images are identical either way;
