@@ -91,7 +91,7 @@ _S_CODE = N_WAVES_CONST * STACK_SIZE  # +s per wave
 _S_PUSH = N_WAVES_CONST * STACK_SIZE + N_WAVES_CONST  # +s per wave
 _SMEM_SLOTS = N_WAVES_CONST * STACK_SIZE + 4 * N_WAVES_CONST
 
-LEAF_UNROLL = 8  # triangles tested per leaf-loop iteration (leaves avg ~12 tris at min_leaf 16)
+LEAF_UNROLL = 8  # triangles tested per leaf-loop iteration (leaves avg ~12 at min_leaf 16)
 
 
 def _quat_rot(qw, qx, qy, qz, vx, vy, vz):
