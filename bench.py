@@ -32,7 +32,7 @@ def build_bench_scene():
     scene.add_mesh(MeshPrimitive.from_triangles(v0, v1, v2, min_leaf_size=min_leaf))
     inst = MeshInstance(0, 0)
     scene.add_mesh_instance(inst)
-    cam = Camera.looking(1920, 1088, fov_deg=50.0, pose=[0.0, -3.2, 0.0, 0, 0, 0])
+    cam = Camera.looking(1920, 1088, fov_deg=50.0, pose=[0.0, -3.2, 0.13, 0, 0, 0])
     return scene.compile(), cam
 
 

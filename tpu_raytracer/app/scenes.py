@@ -64,7 +64,11 @@ def scene_bunny(width: int = 1920, height: int = 1088, subdivisions: int = 6):
     v0, v1, v2 = procgen.blob(subdivisions=subdivisions)
     scene.add_mesh(MeshPrimitive.from_triangles(v0, v1, v2))
     scene.add_mesh_instance(MeshInstance(0, 0))
-    cam = Camera.looking(width, height, fov_deg=50.0, pose=[0.0, -3.2, 0.0, 0, 0, 0])
+    # camera z offset 0.13: the icosphere-derived blob has an edge ring
+    # exactly in the z=0 plane; a z=0 camera shoots center-row rays with
+    # d_z == 0 exactly along that seam, where per-triangle barycentric
+    # tests (same math as the reference) are not watertight.
+    cam = Camera.looking(width, height, fov_deg=50.0, pose=[0.0, -3.2, 0.13, 0, 0, 0])
     return scene.compile(), cam
 
 

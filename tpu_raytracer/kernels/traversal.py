@@ -209,13 +209,15 @@ def _traversal_kernel(
             t2y = (bmaxy - ooy) * idy_
             t1z = (bminz - ooz) * idz_
             t2z = (bmaxz - ooz) * idz_
+            # fmin/fmax suppress the 0*inf NaN (origin exactly on a
+            # box plane) like the reference's CUDA fminf/fmaxf.
             near = jnp.maximum(
-                jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
-                jnp.minimum(t1z, t2z),
+                jnp.maximum(jnp.fmin(t1x, t2x), jnp.fmin(t1y, t2y)),
+                jnp.fmin(t1z, t2z),
             )
             far = jnp.minimum(
-                jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
-                jnp.maximum(t1z, t2z),
+                jnp.minimum(jnp.fmax(t1x, t2x), jnp.fmax(t1y, t2y)),
+                jnp.fmax(t1z, t2z),
             )
             hit = (far >= near) & (far > 0.0) & (near < t_cap)
             return jnp.min(jnp.where(hit, near, BIG))

@@ -83,8 +83,12 @@ def ray_aabb_entry(origin, inv_direction, box_min, box_max):
     reference."""
     tmin = (box_min - origin) * inv_direction
     tmax = (box_max - origin) * inv_direction
-    t1 = jnp.minimum(tmin, tmax)
-    t2 = jnp.maximum(tmin, tmax)
+    # fmin/fmax suppress NaN (0 * inf when the origin sits exactly on a
+    # box plane with a zero direction component) like the CUDA
+    # fminf/fmaxf in the reference slab test — jnp.minimum would
+    # propagate the NaN and turn real hits into misses.
+    t1 = jnp.fmin(tmin, tmax)
+    t2 = jnp.fmax(tmin, tmax)
     far = jnp.min(t2, axis=-1)
     near = jnp.max(t1, axis=-1)
     hit = (far >= near) & (far > 0.0)
