@@ -275,15 +275,20 @@ def _traversal_kernel(
         def pop_internal(s, sp, t_b):
             """Straight-line pop + child tests for wave s, masked by
             the wave\'s liveness (no lax.cond: branch regions fence the
-            scheduler). Returns (sp\', leaf start, leaf count, active)."""
+            scheduler). All vector->SMEM stores are issued before ANY
+            scalar read of them, so the scalar core takes one combined
+            stall per pop instead of stalling on the control word before
+            the box tests are even issued.
+            Returns (sp\', leaf start, leaf count, active)."""
             active = (sp > 0).astype(jnp.int32)
             spm = jnp.maximum(sp - active, 0)
             node = smem_ref[s * STACK_SIZE + spm]
-            code = fetch_code(node, _S_CODE + s)
-            is_int = ((code >= 0).astype(jnp.int32)) * active
 
-            ca = node + 1  # DFS preorder: left child follows parent
-            cb = jnp.maximum(code, 0)
+            # --- vector phase: issue everything, read nothing ---
+            crow = code_ref[pl.ds(node // TILE_L, 1), :]
+            smem_ref[_S_CODE + s] = jnp.sum(
+                jnp.where(lane1 == node % TILE_L, crow, 0)
+            )
             rec = fetch_record(nodef_ref, node)
             da = packet_entry(s, rec, 0, t_b)
             db = packet_entry(s, rec, 6, t_b)
@@ -293,6 +298,12 @@ def _traversal_kernel(
             push_a = (da < BIG).astype(jnp.int32)
             push_b = (db < BIG).astype(jnp.int32)
             smem_ref[_S_PUSH + s] = a_near + 2 * push_a + 4 * push_b
+
+            # --- scalar phase ---
+            code = smem_ref[_S_CODE + s]
+            is_int = ((code >= 0).astype(jnp.int32)) * active
+            ca = node + 1  # DFS preorder: left child follows parent
+            cb = jnp.maximum(code, 0)
             w_ = smem_ref[_S_PUSH + s] * is_int
             a_first = 1 - (w_ & 1)
             pa = (w_ >> 1) & 1
