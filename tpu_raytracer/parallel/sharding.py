@@ -39,7 +39,8 @@ def _shard_body(config: RenderConfig, scene: SceneArrays, origin, directions):
     hit = cast(scene, origin, directions)
     attrs = hit_attributes(scene, origin, directions, hit, exact=config.exact_math)
     return shade_primary(
-        scene, attrs, config.light_direction, config.lighting, exact=config.exact_math
+        scene, attrs, config.light_direction, config.lighting,
+        exact=config.exact_math, backend=config.backend,
     )
 
 

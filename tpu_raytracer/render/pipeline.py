@@ -51,7 +51,7 @@ def render_image(
     attrs = hit_attributes(scene, origin, directions, hit, exact=config.exact_math)
     return shade_primary(
         scene, attrs, config.light_direction, config.lighting,
-        exact=config.exact_math,
+        exact=config.exact_math, backend=config.backend,
     )
 
 

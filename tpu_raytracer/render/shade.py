@@ -66,6 +66,7 @@ def compute_illumination(
     light_direction,
     mode: str,
     exact: bool = True,
+    backend: str = "bvh",
 ) -> jax.Array:
     """Scalar illumination per ray.
 
@@ -82,7 +83,7 @@ def compute_illumination(
         cos_illum = dot(attrs.normal, light_dir)
         illum = jnp.maximum(cos_illum, 0.0)
         if mode == "lambert_shadow":
-            cast = get_cast_fn("bvh")
+            cast = get_cast_fn(backend)
             shadow_origin = attrs.location + light_dir * SHADOW_EPS
             occ = cast(scene, shadow_origin, jnp.broadcast_to(light_dir, attrs.location.shape))
             lit = occ.t >= FLT_MAX
@@ -102,11 +103,14 @@ def shade_primary(
     light_direction=DEFAULT_LIGHT_DIRECTION,
     mode: str = "flat",
     exact: bool = True,
+    backend: str = "bvh",
 ) -> jax.Array:
     """Full primary-hit shade -> uint8 image in the reference's channel
     order. Misses get the sky color (raycast.cu:208-216)."""
     color = surface_color(scene, attrs)
-    illum = compute_illumination(scene, attrs, light_direction, mode, exact=exact)
+    illum = compute_illumination(
+        scene, attrs, light_direction, mode, exact=exact, backend=backend
+    )
     rgb = illum[..., None] * color * jnp.float32(255.0)
     shaded = rgb.astype(jnp.uint8)  # C-cast truncation (raycast.cu:292-294)
     sky = jnp.asarray(SKY_COLOR, jnp.uint8)
