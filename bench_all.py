@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Multi-config benchmark across the BASELINE.md staged scenes.
+
+(bench.py remains the driver's single-line flagship benchmark; this
+script reports one JSON line per config for the record.)
+"""
+
+import json
+import time
+
+import jax
+import numpy as np
+
+
+def timed(fn, frames=8):
+    out = fn()
+    jax.block_until_ready(out)  # compile + warm
+    start = time.perf_counter()
+    for _ in range(frames):
+        out = fn()
+    jax.block_until_ready(out)
+    return (time.perf_counter() - start) / frames
+
+
+def main():
+    from tpu_raytracer.app import scenes
+    from tpu_raytracer.render import (
+        RenderConfig,
+        render_image,
+        render_image_path_traced,
+        render_image_whitted,
+    )
+
+    backend = "pallas" if jax.default_backend() == "tpu" else "bvh"
+    key = jax.random.PRNGKey(0)
+    results = []
+
+    def report(name, cam, dt, casts=1.0):
+        rays = cam.width * cam.height
+        line = {
+            "config": name,
+            "resolution": f"{cam.width}x{cam.height}",
+            "frame_ms": round(dt * 1000, 2),
+            "fps": round(1 / dt, 2),
+            "mrays_per_s": round(rays * casts / dt / 1e6, 2),
+        }
+        results.append(line)
+        print(json.dumps(line), flush=True)
+
+    # 1: cube primary
+    arrays, cam = scenes.scene_cube(256)
+    cfg = RenderConfig(cam.width, cam.height, backend=backend)
+    p = cam.ray_params()
+    args = (cfg, arrays, p["K_inv"], p["D"], p["pose"], p["inv_pose"])
+    report("1 cube 256^2 flat", cam, timed(lambda: render_image(*args)))
+
+    # 2: cornell + shadows
+    arrays, cam = scenes.scene_cornell(512)
+    cfg = RenderConfig(cam.width, cam.height, backend=backend,
+                       lighting="lambert_shadow")
+    p = cam.ray_params()
+    args = (cfg, arrays, p["K_inv"], p["D"], p["pose"], p["inv_pose"])
+    report("2 cornell 512^2 shadows", cam,
+           timed(lambda: render_image(*args)), casts=2.0)
+
+    # 3: bunny 1080p primary (the flagship; bench.py's number)
+    arrays, cam = scenes.scene_bunny()
+    cfg = RenderConfig(cam.width, cam.height, backend=backend)
+    p = cam.ray_params()
+    args = (cfg, arrays, p["K_inv"], p["D"], p["pose"], p["inv_pose"])
+    report("3 bunny 82k-tri 1080p", cam, timed(lambda: render_image(*args)))
+
+    # 4: instances + whitted reflections
+    arrays, cam = scenes.scene_instances(512, 512)
+    cfg = RenderConfig(cam.width, cam.height, backend=backend)
+    p = cam.ray_params()
+    args = (cfg, arrays, p["K_inv"], p["D"], p["pose"], p["inv_pose"])
+    report("4 instances whitted x2", cam,
+           timed(lambda: render_image_whitted(*args)), casts=5.0)
+
+    # 5: colonnade, 256k tris (exceeds the VMEM table budget -> XLA
+    # fallback backend; HBM paging is a round-2 item)
+    arrays, cam = scenes.scene_colonnade(256, 256)
+    cfg = RenderConfig(cam.width, cam.height, backend=backend)
+    p = cam.ray_params()
+    args = (cfg, arrays, p["K_inv"], p["D"], p["pose"], p["inv_pose"])
+    try:
+        report("5 colonnade 256k-tri primary (XLA fallback)", cam,
+               timed(lambda: render_image(*args), frames=2))
+    except Exception as e:
+        print(json.dumps({"config": "5 colonnade", "error": str(e)[:160]}),
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

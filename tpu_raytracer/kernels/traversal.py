@@ -189,8 +189,18 @@ def _traversal_kernel(
             odx, ody, odz = odx * sx, ody * sy, odz * sz
             oox, ooy, ooz = _quat_rot(qw, qx, qy, qz, wox - px, woy - py, woz - pz)
             oox, ooy, ooz = oox * sx, ooy * sy, ooz * sz
+
+            def _inv(v):
+                # finite huge reciprocal: avoids the 0 * inf = NaN
+                # false-miss when a ray lies exactly in a box boundary
+                # plane (see render/intersect.py safe_reciprocal)
+                tiny = 1e-30
+                safe = jnp.where(jnp.abs(v) < tiny,
+                                 jnp.where(v < 0, -tiny, tiny), v)
+                return 1.0 / safe
+
             obj.append((oox, ooy, ooz, odx, ody, odz,
-                        1.0 / odx, 1.0 / ody, 1.0 / odz))
+                        _inv(odx), _inv(ody), _inv(odz)))
 
         def packet_entry(s, rec, base, t_cap):
             """Packet slab test (BVHTree.hpp:40-54) against the box in
@@ -501,6 +511,9 @@ def _run_kernel(scene: SceneArrays, tiled, interpret: bool):
         out_specs=(ray_spec,) * len(out_shape),
         out_shape=out_shape,
         scratch_shapes=[pltpu.SMEM((_SMEM_SLOTS,), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(*inputs)
     unpack = lambda a: a.reshape(-1, TILE_S, TILE_L)[:n_tiles]
@@ -529,10 +542,12 @@ def _on_tpu() -> bool:
 
 
 # VMEM budget for the scene tables (triangle records dominate at 64B/tri
-# + node records + code words). Above this the whole-scene-in-VMEM
-# kernel cannot compile; fall back to the XLA gather backend until an
-# HBM-paging traversal variant exists.
-VMEM_SCENE_BUDGET = 12 * 1024 * 1024
+# + node records + code words). The pallas_call raises the compiler's
+# default 16MB scoped-VMEM limit to 100MB (v5e has 128MB physical
+# VMEM), so Sponza-class scenes stay on the fast kernel; beyond this,
+# fall back to the XLA gather backend until an HBM-paging traversal
+# variant exists.
+VMEM_SCENE_BUDGET = 80 * 1024 * 1024
 
 
 def _scene_vmem_bytes(scene: SceneArrays) -> int:

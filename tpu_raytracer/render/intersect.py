@@ -96,6 +96,20 @@ def ray_aabb_entry(origin, inv_direction, box_min, box_max):
 
 
 def safe_reciprocal(direction):
-    """Componentwise 1/d (Ray.hpp:17-22). Zero components become +/-inf,
-    which the slab min/max absorbs — matching CUDA float semantics."""
-    return 1.0 / direction
+    """Componentwise 1/d (Ray.hpp:17-22), with near-zero components
+    clamped to +/-1e-30 first so the reciprocal stays FINITE (~1e30).
+
+    The reference's raw 1/d yields +/-inf; when a ray then lies exactly
+    IN a box boundary plane (origin coordinate == box bound and d == 0,
+    which axis-aligned scenes hit systematically), (bound - o) * inf =
+    0 * inf = NaN and the slab test falsely misses. With a finite huge
+    inverse, 0 * 1e30 = 0 (on the plane counts as inside) and
+    eps * 1e30 is effectively infinity — strictly more watertight than
+    the reference, identical everywhere else."""
+    tiny = jnp.float32(1e-30)
+    d = jnp.where(
+        jnp.abs(direction) < tiny,
+        jnp.where(direction < 0, -tiny, tiny) + 0.0 * direction,
+        direction,
+    )
+    return 1.0 / d

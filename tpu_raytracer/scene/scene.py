@@ -208,6 +208,17 @@ class Scene:
         i32 = lambda x: jnp.asarray(np.asarray(x, np.int32))
         cat = np.concatenate
 
+        # Out-round node boxes by ~1 ulp: rays lying exactly IN a box
+        # boundary plane (axis-aligned scenes + axis-aligned cameras hit
+        # this systematically) would otherwise get a half-open slab
+        # interval and falsely miss. Conservative-only: traversal may
+        # visit a node extra, never skip one.
+        mn = cat(node_parts["min"])
+        mx = cat(node_parts["max"])
+        pad = np.maximum(np.abs(mn), np.abs(mx)) * np.float32(2**-21) + np.float32(1e-30)
+        node_parts["min"] = [mn - pad]
+        node_parts["max"] = [mx + pad]
+
         from ..accel.wide import collapse_to_wide
 
         wide_code, wide_box, wide_root = collapse_to_wide(
