@@ -78,14 +78,14 @@ def main():
     report("4 instances whitted x2", cam,
            timed(lambda: render_image_whitted(*args)), casts=5.0)
 
-    # 5: colonnade, 256k tris (exceeds the VMEM table budget -> XLA
-    # fallback backend; HBM paging is a round-2 item)
-    arrays, cam = scenes.scene_colonnade(256, 256)
+    # 5: colonnade, 256k tris on the fast kernel (scene tables ~20MB of
+    # VMEM; the pallas_call raises the compiler's 16MB default limit)
+    arrays, cam = scenes.scene_colonnade(512, 512)
     cfg = RenderConfig(cam.width, cam.height, backend=backend)
     p = cam.ray_params()
     args = (cfg, arrays, p["K_inv"], p["D"], p["pose"], p["inv_pose"])
     try:
-        report("5 colonnade 256k-tri primary (XLA fallback)", cam,
+        report("5 colonnade 256k-tri primary", cam,
                timed(lambda: render_image(*args), frames=2))
     except Exception as e:
         print(json.dumps({"config": "5 colonnade", "error": str(e)[:160]}),
