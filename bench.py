@@ -66,7 +66,7 @@ def main():
     mrays = rays * n_iters / elapsed / 1e6
     hit_frac = float((img != np.array([255, 204, 153], np.uint8)).any(-1).mean())
     result = {
-        "metric": f"primary-ray throughput, 82k-tri BVH scene @1080p ({backend})",
+        "metric": f"primary-ray throughput, 82k-tri BVH scene @1920x1088 ({backend})",
         "value": round(mrays, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / target_mrays, 4),

@@ -85,10 +85,43 @@ def main():
     p = cam.ray_params()
     args = (cfg, arrays, p["K_inv"], p["D"], p["pose"], p["inv_pose"])
     try:
-        report("5 colonnade 256k-tri primary", cam,
+        report("5a colonnade 256k-tri primary", cam,
                timed(lambda: render_image(*args), frames=2))
     except Exception as e:
-        print(json.dumps({"config": "5 colonnade", "error": str(e)[:160]}),
+        print(json.dumps({"config": "5a colonnade", "error": str(e)[:160]}),
+              flush=True)
+
+    # 5b: the full BASELINE config 5 — multi-bounce path tracing with an
+    # animated camera fly-through (poses are per-frame runtime args, so
+    # the fly-through never recompiles). SAMPLES x (BOUNCES+1) casts of
+    # the full pixel grid per frame.
+    from tpu_raytracer.app.controls import fly_through
+
+    SAMPLES, BOUNCES = 2, 2
+    casts = SAMPLES * (BOUNCES + 1)
+    try:
+        def pt_frame(pose_arr, inv_pose_arr, k):
+            return render_image_path_traced(
+                cfg, arrays, p["K_inv"], p["D"], pose_arr, inv_pose_arr,
+                jax.random.PRNGKey(k), BOUNCES, SAMPLES,
+            )
+
+        from tpu_raytracer.core import transforms as T
+
+        poses = list(fly_through(np.asarray(p["pose"]), frames=5,
+                                 forward_per_frame=0.15))
+        inv_poses = [np.asarray(T.invert_lre(q)) for q in poses]
+        out = pt_frame(poses[0], inv_poses[0], 0)
+        jax.block_until_ready(out)  # compile + warm
+        start = time.perf_counter()
+        for k, (q, iq) in enumerate(zip(poses, inv_poses)):
+            out = pt_frame(q, iq, k)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - start) / len(poses)
+        report("5b colonnade path-traced fly-through "
+               f"({SAMPLES}spp x {BOUNCES+1} casts)", cam, dt, casts=casts)
+    except Exception as e:
+        print(json.dumps({"config": "5b colonnade path", "error": str(e)[:160]}),
               flush=True)
 
 

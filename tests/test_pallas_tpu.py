@@ -44,6 +44,16 @@ def _checks():
     a = np.asarray(render(cam2, arrays2, backend="pallas"))
     b = np.asarray(render(cam2, arrays2, backend="brute"))
     assert (a == b).all(), "pallas != brute on deformed sphere"
+
+    # multi-instance: posed + non-uniformly scaled instances exercise
+    # the kernel's per-instance quat transform, the t_best carry across
+    # instances, and the inst-index output (ADVICE r1)
+    from test_pallas_interpret import _two_instance_scene
+
+    arrays3, cam3 = _two_instance_scene()
+    a = np.asarray(render(cam3, arrays3, backend="pallas"))
+    b = np.asarray(render(cam3, arrays3, backend="brute"))
+    assert (a == b).all(), "pallas != brute on two-instance scene"
     return True
 
 

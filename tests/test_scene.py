@@ -98,3 +98,33 @@ def test_mesh_from_triangles_without_uv():
     mesh = MeshPrimitive.from_triangles(v0, v1, v2)
     assert mesh.num_triangles == 80
     assert mesh.uv0.shape == (80, 2)
+
+
+def test_objloader_load_from_file(tmp_path):
+    """The load()-from-disk path (OBJLoader.hpp:15-27 analog)."""
+    fp = tmp_path / "cube.obj"
+    fp.write_text(procgen.cube_obj())
+    mesh = objloader.load(str(fp))
+    assert mesh.num_triangles == 12
+
+
+def test_objloader_missing_file_raises():
+    """Reference exit(1)s on a missing file (OBJLoader.hpp:23-27);
+    here it raises a clean FileNotFoundError."""
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        objloader.load("/nonexistent/definitely_missing.obj")
+
+
+def test_objloader_mixed_face_tokens_degrade_untextured():
+    """A face mixing 'v/t' and bare 'v' tokens must parse as an
+    un-textured face instead of mis-indexing the fan (ADVICE r1)."""
+    text = "\n".join([
+        "v 0 0 0", "v 1 0 0", "v 1 1 0", "v 0 1 0",
+        "vt 0 0", "vt 1 0", "vt 1 1",
+        "f 1/1 2/2 3/3 4",  # quad: three tokens textured, one bare
+    ])
+    v0, v1, v2, uv0, uv1, uv2, has_uv = objloader.parse_obj(text)
+    assert len(v0) == 2  # fan-triangulated quad
+    assert not has_uv.any()

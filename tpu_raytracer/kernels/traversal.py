@@ -6,9 +6,9 @@ core owns a PACKET of TILE_S x 128 coherent rays (one PIX_H x PIX_W
 pixel block; 4096 rays measured optimal) and ONE shared node stack in
 SMEM:
 
-  * the scalar core pops a node and decides descent order;
-  * the VPU tests the node's child AABBs against all 1024 rays at once
-    (dense [8, 128] slab tests, BVHTree.hpp:40-54);
+  * the scalar core pops nodes and decides descent order;
+  * the VPU tests each node's child AABBs against all 4096 rays at once
+    (dense slab tests, BVHTree.hpp:40-54);
   * a child is descended if ANY lane's entry distance beats its current
     best (packet traversal a la CPU-SIMD ray tracing), near child first
     by packet-min entry distance (raycast.cu:72-79);
@@ -31,17 +31,30 @@ producing extraction is a masked keepdims-reduce. Hence:
     (child_a is implicitly node+1, DFS preorder), leaf ->
     leaf_start * 1024 + leaf_count, negated.
 
-The whole SoA scene stays resident in VMEM across the ray-tile grid
-(bunny-class is a few MB of the ~16MB budget). t_best carries across
-instances (improving on the reference: earlier instances prune later
-ones). Distances are object-space plane t values, equal to the
-reference's world distances (see render/intersect.py).
+Round-2 latency work (the loop is latency-bound, not math-bound —
+~438 cycles/iteration measured in round 1 with the vector->SMEM->scalar
+round-trip dominating):
 
-An 8-wide collapsed variant (sublane = child) was built and measured
-at 13x SLOWER: 128-ray packets don't amortize pops (visits per packet
-only halved while rays dropped 8x) — packet width beats tree width on
-this hardware. The wide arrays (accel/wide.py) remain available for
-future HBM-resident traversal experiments.
+  * K=2 node pops per iteration: TWO nodes are popped, their codes,
+    records and box tests all issued in one vector phase, and ONE
+    combined scalar stall consumes all four SMEM words — halving the
+    per-pop sync cost. Traversal order degrades slightly from pure
+    near-first DFS (the second pop can't see the first's leaf t
+    updates), costing a few extra visits for half the stalls.
+  * precomputed triangle records: each 16-lane record carries
+    A, n, e0 = C - A, e1 = B - A, dot00, dot01, dot11, inv_den —
+    exactly the intermediate values intersect.point_in_triangle_uv
+    computes — so the in-kernel test drops ~25 vector ops and one of
+    its two divides per triangle while staying BIT-IDENTICAL to the
+    brute-force oracle (same f32 ops in the same order, just hoisted
+    out of the kernel).
+
+The whole SoA scene stays resident in VMEM across the ray-tile grid
+(bunny-class is a few MB of the ~16MB default budget; the pallas_call
+raises the compiler limit to 100MB). t_best carries across instances
+(improving on the reference: earlier instances prune later ones).
+Distances are object-space plane t values, equal to the reference's
+world distances (see render/intersect.py).
 
 Outputs the same compact (t, tri, inst) hit record as the XLA backends
 (renderer.py), so attribute reconstruction and shading are shared.
@@ -60,6 +73,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core import transforms as T
+from ..render.intersect import EDGE_EPS, WATERTIGHT_NUDGE
 from ..scene.scene import SceneArrays
 
 TILE_S = 32  # sublanes (4 vregs per VPU op)
@@ -79,24 +93,25 @@ REC_PER_ROW = TILE_L // REC_LANES
 BIG = 3.0e38
 PARALLEL_EPS = 1e-6
 _FLT_MAX = 3.4028235e38
+NUDGE = WATERTIGHT_NUDGE  # absolute slab-numerator out-round
 
 LEAF_BITS = 10
 LEAF_SHIFT = 1 << LEAF_BITS
 MAX_LEAF_TRIS = LEAF_SHIFT - 1
 
-N_WAVES_CONST = 1  # keep in sync with N_WAVES below
+POP_K = 2  # nodes popped per scalar/vector sync
 
-# SMEM scratch slot map (after the per-wave stacks)
-_S_CODE = N_WAVES_CONST * STACK_SIZE  # +s per wave
-_S_PUSH = N_WAVES_CONST * STACK_SIZE + N_WAVES_CONST  # +s per wave
-_SMEM_SLOTS = N_WAVES_CONST * STACK_SIZE + 4 * N_WAVES_CONST
+# SMEM scratch slot map (after the stack)
+_S_CODE = STACK_SIZE  # +POP_K
+_S_PUSH = STACK_SIZE + POP_K  # +POP_K
+_SMEM_SLOTS = STACK_SIZE + 2 * POP_K
 
 LEAF_UNROLL = 8  # triangles tested per leaf-loop iteration (leaves avg ~12 at min_leaf 16)
 
 
 def _quat_rot(qw, qx, qy, qz, vx, vy, vz):
-    """apply_quat (transforms.hpp:165-176) on [8,128] component tiles
-    with scalar quaternion parts."""
+    """apply_quat (transforms.hpp:165-176) on [TILE_S,128] component
+    tiles with scalar quaternion parts."""
     a = -vx * qx - vy * qy - vz * qz
     b = vx * qw + vy * qz - vz * qy
     c = vy * qw + vz * qx - vx * qz
@@ -107,9 +122,6 @@ def _quat_rot(qw, qx, qy, qz, vx, vy, vz):
     return rx, ry, rz
 
 
-N_WAVES = 1  # measured: 2 interleaved waves ran 6% SLOWER (34.9 vs 37 Mrays/s)
-
-
 def _traversal_kernel(
     num_instances: int,
     with_stats: bool,
@@ -118,11 +130,11 @@ def _traversal_kernel(
     (
         inst_tab_ref,  # SMEM [I, 12] f32: quat(4) xyz(3) inv_scale(3) pad
         inst_root_ref,  # SMEM [I] i32 root node id
-        ox_ref, oy_ref, oz_ref,  # VMEM [1, 2, 8, 128] f32 ray origins
-        dx_ref, dy_ref, dz_ref,  # VMEM [1, 2, 8, 128] f32 ray directions
+        ox_ref, oy_ref, oz_ref,  # VMEM [1, TILE_S, 128] f32 ray origins
+        dx_ref, dy_ref, dz_ref,  # VMEM [1, TILE_S, 128] f32 ray directions
         code_ref,  # VMEM [ceil(N/128), 128] i32 packed control words
         nodef_ref,  # VMEM [ceil(N/8), 128] f32 16-lane records: A+B boxes
-        trif_ref,  # VMEM [ceil(T/8), 128] f32 16-lane records: A,B,C,n
+        trif_ref,  # VMEM [ceil(T/8), 128] f32 16-lane records (see module doc)
     ) = refs[:11]
     if with_stats:
         t_out_ref, tri_out_ref, inst_out_ref, pops_ref, tests_ref, smem_ref = refs[11:]
@@ -142,30 +154,12 @@ def _traversal_kernel(
         vals = jnp.sum(jnp.where(mask, rep, 0.0), axis=1, keepdims=True)
         return vals + jnp.zeros((REC_LANES, TILE_L), jnp.float32)
 
-    def fetch_code(k, slot):
-        """Node control word -> scalar via SMEM round-trip (reduced
-        vector values can't drive control flow directly)."""
-        row = code_ref[pl.ds(k // TILE_L, 1), :]
-        smem_ref[slot] = jnp.sum(jnp.where(lane1 == k % TILE_L, row, 0))
-        return smem_ref[slot]
-
-    # Per-wave ray tiles and best-hit state. Two waves traverse two
-    # DIFFERENT pixel tiles concurrently: their serial fetch->reduce->
-    # sync chains are independent, so the VLIW scheduler interleaves
-    # them and hides most of the per-pop latency that dominates a
-    # single traversal.
-    rays = [
-        tuple(r[0, s] for r in (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref))
-        for s in range(N_WAVES)
-    ]
-    best = [
-        (
-            jnp.full((TILE_S, TILE_L), BIG, jnp.float32),
-            jnp.full((TILE_S, TILE_L), -1, jnp.int32),
-            jnp.full((TILE_S, TILE_L), -1, jnp.int32),
-        )
-        for _ in range(N_WAVES)
-    ]
+    rays = tuple(r[0] for r in (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref))
+    best = (
+        jnp.full((TILE_S, TILE_L), BIG, jnp.float32),
+        jnp.full((TILE_S, TILE_L), -1, jnp.int32),
+        jnp.full((TILE_S, TILE_L), -1, jnp.int32),
+    )
     n_pops = jnp.int32(0)
     n_tests = jnp.int32(0)
 
@@ -181,44 +175,41 @@ def _traversal_kernel(
         sy = inst_tab_ref[i, 8]
         sz = inst_tab_ref[i, 9]
 
-        # Object-space rays per wave (raycast.cu:32-51)
-        obj = []
-        for s in range(N_WAVES):
-            wox, woy, woz, wdx, wdy, wdz = rays[s]
-            odx, ody, odz = _quat_rot(qw, qx, qy, qz, wdx, wdy, wdz)
-            odx, ody, odz = odx * sx, ody * sy, odz * sz
-            oox, ooy, ooz = _quat_rot(qw, qx, qy, qz, wox - px, woy - py, woz - pz)
-            oox, ooy, ooz = oox * sx, ooy * sy, ooz * sz
+        # Object-space rays (raycast.cu:32-51)
+        wox, woy, woz, wdx, wdy, wdz = rays
+        odx, ody, odz = _quat_rot(qw, qx, qy, qz, wdx, wdy, wdz)
+        odx, ody, odz = odx * sx, ody * sy, odz * sz
+        oox, ooy, ooz = _quat_rot(qw, qx, qy, qz, wox - px, woy - py, woz - pz)
+        oox, ooy, ooz = oox * sx, ooy * sy, ooz * sz
 
-            def _inv(v):
-                # finite huge reciprocal: avoids the 0 * inf = NaN
-                # false-miss when a ray lies exactly in a box boundary
-                # plane (see render/intersect.py safe_reciprocal)
-                tiny = 1e-30
-                safe = jnp.where(jnp.abs(v) < tiny,
-                                 jnp.where(v < 0, -tiny, tiny), v)
-                return 1.0 / safe
+        def _inv(v):
+            # finite huge reciprocal: avoids the 0 * inf = NaN
+            # false-miss when a ray lies exactly in a box boundary
+            # plane (see render/intersect.py safe_reciprocal)
+            tiny = 1e-30
+            safe = jnp.where(jnp.abs(v) < tiny,
+                             jnp.where(v < 0, -tiny, tiny), v)
+            return 1.0 / safe
 
-            obj.append((oox, ooy, ooz, odx, ody, odz,
-                        _inv(odx), _inv(ody), _inv(odz)))
+        idx_, idy_, idz_ = _inv(odx), _inv(ody), _inv(odz)
 
-        def packet_entry(s, rec, base, t_cap):
+        def packet_entry(rec, base, t_cap):
             """Packet slab test (BVHTree.hpp:40-54) against the box in
             record rows [base, base+6); returns the min entry over lanes
-            that beat their best, or BIG."""
-            oox, ooy, ooz, _, _, _, idx_, idy_, idz_ = obj[s]
+            that beat their best, or BIG. Numerators nudged outward by
+            an absolute 1e-12 (watertight; see intersect.ray_aabb_entry)."""
             bminx = rec[base + 0 : base + 1, :]
             bminy = rec[base + 1 : base + 2, :]
             bminz = rec[base + 2 : base + 3, :]
             bmaxx = rec[base + 3 : base + 4, :]
             bmaxy = rec[base + 4 : base + 5, :]
             bmaxz = rec[base + 5 : base + 6, :]
-            t1x = (bminx - oox) * idx_
-            t2x = (bmaxx - oox) * idx_
-            t1y = (bminy - ooy) * idy_
-            t2y = (bmaxy - ooy) * idy_
-            t1z = (bminz - ooz) * idz_
-            t2z = (bmaxz - ooz) * idz_
+            t1x = (bminx - oox - NUDGE) * idx_
+            t2x = (bmaxx - oox + NUDGE) * idx_
+            t1y = (bminy - ooy - NUDGE) * idy_
+            t2y = (bmaxy - ooy + NUDGE) * idy_
+            t1z = (bminz - ooz - NUDGE) * idz_
+            t2z = (bmaxz - ooz + NUDGE) * idz_
             # fmin/fmax suppress the 0*inf NaN (origin exactly on a
             # box plane) like the reference's CUDA fminf/fmaxf.
             near = jnp.maximum(
@@ -232,48 +223,50 @@ def _traversal_kernel(
             hit = (far >= near) & (far > 0.0) & (near < t_cap)
             return jnp.min(jnp.where(hit, near, BIG))
 
-        def test_tri(s, k, live, t_b, tri_b, in_b):
-            """Dense masked test of triangle k against wave s\'s tile
-            (TrianglePrimitive.hpp:62-79, 151-169; cull raycast.cu:107-109)."""
-            oox, ooy, ooz, odx, ody, odz, _, _, _ = obj[s]
+        def test_tri(k, live, t_b, tri_b, in_b):
+            """Dense masked test of triangle k against the tile
+            (TrianglePrimitive.hpp:62-79, 151-169; cull
+            raycast.cu:107-109). Record fields are the precomputed
+            intermediates of intersect.point_in_triangle_uv, so t/u/v
+            here are bit-identical to the brute-force oracle."""
             rec = fetch_record(trif_ref, k)
             ax = rec[0:1, :]
             ay = rec[1:2, :]
             az = rec[2:3, :]
-            bx = rec[3:4, :]
-            by = rec[4:5, :]
-            bz = rec[5:6, :]
-            cx = rec[6:7, :]
-            cy = rec[7:8, :]
-            cz = rec[8:9, :]
-            nx = rec[9:10, :]
-            ny = rec[10:11, :]
-            nz = rec[11:12, :]
+            nx = rec[3:4, :]
+            ny = rec[4:5, :]
+            nz = rec[5:6, :]
+            e0x = rec[6:7, :]
+            e0y = rec[7:8, :]
+            e0z = rec[8:9, :]
+            e1x = rec[9:10, :]
+            e1y = rec[10:11, :]
+            e1z = rec[11:12, :]
+            dot00 = rec[12:13, :]
+            dot01 = rec[13:14, :]
+            dot11 = rec[14:15, :]
+            inv_den = rec[15:16, :]
             denom = odx * nx + ody * ny + odz * nz
             safe = jnp.where(jnp.abs(denom) < PARALLEL_EPS, 1.0, denom)
             t = ((ax - oox) * nx + (ay - ooy) * ny + (az - ooz) * nz) / safe
             pxl = oox + t * odx
             pyl = ooy + t * ody
             pzl = ooz + t * odz
-            # barycentric: e0 = C - A, e1 = B - A, e2 = P - A
-            e0x, e0y, e0z = cx - ax, cy - ay, cz - az
-            e1x, e1y, e1z = bx - ax, by - ay, bz - az
             e2x, e2y, e2z = pxl - ax, pyl - ay, pzl - az
-            dot00 = e0x * e0x + e0y * e0y + e0z * e0z
-            dot01 = e0x * e1x + e0y * e1y + e0z * e1z
-            dot11 = e1x * e1x + e1y * e1y + e1z * e1z
             dot02 = e0x * e2x + e0y * e2y + e0z * e2z
             dot12 = e1x * e2x + e1y * e2y + e1z * e2z
-            inv_den = 1.0 / (dot00 * dot11 - dot01 * dot01)
             u = (dot11 * dot02 - dot01 * dot12) * inv_den
             v = (dot00 * dot12 - dot01 * dot02) * inv_den
+            # EDGE_EPS-inclusive bounds: keeps edge-tie decisions OFF
+            # the exact-zero point where Mosaic/XLA rounding diverges
+            # and closes shared-edge cracks (see intersect.EDGE_EPS)
             ok = (
                 live
                 & (denom <= -PARALLEL_EPS)
                 & (t >= 0.0)
-                & (u >= 0.0)
-                & (v >= 0.0)
-                & (u + v <= 1.0)
+                & (u >= -EDGE_EPS)
+                & (v >= -EDGE_EPS)
+                & (u + v <= 1.0 + EDGE_EPS)
                 & (t < t_b)
             )
             return (
@@ -282,65 +275,90 @@ def _traversal_kernel(
                 jnp.where(ok, i, in_b),
             )
 
-        def pop_internal(s, sp, t_b):
-            """Straight-line pop + child tests for wave s, masked by
-            the wave\'s liveness (no lax.cond: branch regions fence the
-            scheduler). All vector->SMEM stores are issued before ANY
-            scalar read of them, so the scalar core takes one combined
-            stall per pop instead of stalling on the control word before
-            the box tests are even issued.
-            Returns (sp\', leaf start, leaf count, active)."""
-            active = (sp > 0).astype(jnp.int32)
-            spm = jnp.maximum(sp - active, 0)
-            node = smem_ref[s * STACK_SIZE + spm]
+        def pop2(sp, t_b):
+            """Pop up to POP_K(=2) nodes in ONE vector/scalar round-trip.
+
+            Straight-line, branchless (lax.cond regions fence the
+            scheduler). All vector->SMEM stores (both codes + both push
+            words) are issued before ANY scalar read, so the scalar core
+            takes ONE combined stall for two nodes instead of one per
+            node. Returns (sp', (start1, count1), (start2, count2),
+            pops) with counts 0 for internal/inactive pops."""
+            a1 = (sp > 0).astype(jnp.int32)
+            i1 = jnp.maximum(sp - 1, 0)
+            node1 = smem_ref[i1]
+            a2 = (sp > 1).astype(jnp.int32)
+            i2 = jnp.maximum(sp - 2, 0)
+            node2 = smem_ref[i2]
+            spm = sp - a1 - a2
 
             # --- vector phase: issue everything, read nothing ---
-            crow = code_ref[pl.ds(node // TILE_L, 1), :]
-            smem_ref[_S_CODE + s] = jnp.sum(
-                jnp.where(lane1 == node % TILE_L, crow, 0)
+            crow1 = code_ref[pl.ds(node1 // TILE_L, 1), :]
+            smem_ref[_S_CODE + 0] = jnp.sum(
+                jnp.where(lane1 == node1 % TILE_L, crow1, 0)
             )
-            rec = fetch_record(nodef_ref, node)
-            da = packet_entry(s, rec, 0, t_b)
-            db = packet_entry(s, rec, 6, t_b)
+            crow2 = code_ref[pl.ds(node2 // TILE_L, 1), :]
+            smem_ref[_S_CODE + 1] = jnp.sum(
+                jnp.where(lane1 == node2 % TILE_L, crow2, 0)
+            )
+            rec1 = fetch_record(nodef_ref, node1)
+            rec2 = fetch_record(nodef_ref, node2)
+            da1 = packet_entry(rec1, 0, t_b)
+            db1 = packet_entry(rec1, 6, t_b)
+            da2 = packet_entry(rec2, 0, t_b)
+            db2 = packet_entry(rec2, 6, t_b)
             # Ordered push, far child first (raycast.cu:72-79); all
-            # vector-derived decisions in ONE sync word.
-            a_near = (da <= db).astype(jnp.int32)
-            push_a = (da < BIG).astype(jnp.int32)
-            push_b = (db < BIG).astype(jnp.int32)
-            smem_ref[_S_PUSH + s] = a_near + 2 * push_a + 4 * push_b
+            # vector-derived decisions in ONE sync word per node.
+            smem_ref[_S_PUSH + 0] = (
+                (da1 <= db1).astype(jnp.int32)
+                + 2 * (da1 < BIG).astype(jnp.int32)
+                + 4 * (db1 < BIG).astype(jnp.int32)
+            )
+            smem_ref[_S_PUSH + 1] = (
+                (da2 <= db2).astype(jnp.int32)
+                + 2 * (da2 < BIG).astype(jnp.int32)
+                + 4 * (db2 < BIG).astype(jnp.int32)
+            )
 
-            # --- scalar phase ---
-            code = smem_ref[_S_CODE + s]
-            is_int = ((code >= 0).astype(jnp.int32)) * active
-            ca = node + 1  # DFS preorder: left child follows parent
-            cb = jnp.maximum(code, 0)
-            w_ = smem_ref[_S_PUSH + s] * is_int
-            a_first = 1 - (w_ & 1)
-            pa = (w_ >> 1) & 1
-            pb = (w_ >> 2) & 1
-            first = jnp.where(a_first == 1, ca, cb)
-            p_first = jnp.where(a_first == 1, pa, pb)
-            second = jnp.where(a_first == 1, cb, ca)
-            p_second = jnp.where(a_first == 1, pb, pa)
-            smem_ref[s * STACK_SIZE + spm] = first
-            sp1 = spm + p_first
-            smem_ref[s * STACK_SIZE + sp1] = second
-            sp1 = sp1 + p_second
+            # --- scalar phase (single combined stall) ---
+            # node2's children go on the stack first so node1's (the
+            # nearer pop) are popped first next iteration.
+            sp_out = spm
+            leaf = []
+            for node, act, slot in ((node2, a2, 1), (node1, a1, 0)):
+                code = smem_ref[_S_CODE + slot]
+                is_int = ((code >= 0).astype(jnp.int32)) * act
+                ca = node + 1  # DFS preorder: left child follows parent
+                cb = jnp.maximum(code, 0)
+                w_ = smem_ref[_S_PUSH + slot] * is_int
+                a_first = 1 - (w_ & 1)
+                pa = (w_ >> 1) & 1
+                pb = (w_ >> 2) & 1
+                first = jnp.where(a_first == 1, ca, cb)
+                p_first = jnp.where(a_first == 1, pa, pb)
+                second = jnp.where(a_first == 1, cb, ca)
+                p_second = jnp.where(a_first == 1, pb, pa)
+                smem_ref[sp_out] = first
+                sp_out = sp_out + p_first
+                smem_ref[sp_out] = second
+                sp_out = sp_out + p_second
 
-            packed = -code - 1
-            start = packed >> LEAF_BITS
-            leaf_flag = active - is_int  # 1 only for an active leaf pop
-            count = (packed & MAX_LEAF_TRIS) * leaf_flag
-            return sp1, start, count, active
+                packed = -code - 1
+                start = packed >> LEAF_BITS
+                leaf_flag = act - is_int  # 1 only for an active leaf pop
+                count = (packed & MAX_LEAF_TRIS) * leaf_flag
+                leaf.append((start, count))
+            # leaf[1] is node1 (nearer) — test it first for pruning.
+            return sp_out, leaf[1], leaf[0], a1 + a2
 
-        def leaf_loop(s, start, count, st):
+        def leaf_loop(start, count, st):
             def quad_body(q, acc):
                 t_b, tri_b, in_b = acc
                 k0 = start + q * LEAF_UNROLL
                 for u_ in range(LEAF_UNROLL):
                     k = k0 + u_
                     t_b, tri_b, in_b = test_tri(
-                        s, k, k < start + count, t_b, tri_b, in_b
+                        k, k < start + count, t_b, tri_b, in_b
                     )
                 return t_b, tri_b, in_b
 
@@ -348,45 +366,24 @@ def _traversal_kernel(
             return jax.lax.fori_loop(0, n_quads, quad_body, st)
 
         def body(carry):
-            sps, states, np_, nt_ = carry
-            # interleave all waves' pop chains before the leaf loops
-            pops = [
-                pop_internal(s, sps[s], states[s][0]) for s in range(N_WAVES)
-            ]
-            states = tuple(
-                leaf_loop(s, pops[s][1], pops[s][2], states[s])
-                for s in range(N_WAVES)
-            )
-            for s in range(N_WAVES):
-                np_ = np_ + pops[s][3]
-                nt_ = nt_ + pops[s][2]
-            return tuple(p[0] for p in pops), states, np_, nt_
+            sp, state, np_, nt_ = carry
+            sp, (s1, c1), (s2, c2), pops = pop2(sp, state[0])
+            state = leaf_loop(s1, c1, state)
+            state = leaf_loop(s2, c2, state)
+            return sp, state, np_ + pops, nt_ + c1 + c2
 
         root = inst_root_ref[i]
-        for s in range(N_WAVES):
-            smem_ref[s * STACK_SIZE] = root
-        carry = (
-            (jnp.int32(1),) * N_WAVES,
-            tuple(best),
-            n_pops,
-            n_tests,
-        )
-        carry = jax.lax.while_loop(
-            lambda c: functools.reduce(
-                lambda a, b: a | b, [sp > 0 for sp in c[0]]
-            ),
-            body,
-            carry,
-        )
-        sps_f, states_f, n_pops, n_tests = carry
-        best = list(states_f)
+        smem_ref[0] = root
+        carry = (jnp.int32(1), best, n_pops, n_tests)
+        carry = jax.lax.while_loop(lambda c: c[0] > 0, body, carry)
+        _, best, n_pops, n_tests = carry
 
-    ts = jnp.stack([jnp.where(b[0] >= BIG, _FLT_MAX, b[0]) for b in best])
-    t_out_ref[0] = ts
-    tri_out_ref[0] = jnp.stack([b[1] for b in best])
-    inst_out_ref[0] = jnp.stack([b[2] for b in best])
+    t_b, tri_b, in_b = best
+    t_out_ref[0] = jnp.where(t_b >= BIG, _FLT_MAX, t_b)
+    tri_out_ref[0] = tri_b
+    inst_out_ref[0] = in_b
     if with_stats:
-        zeros = jnp.zeros((N_WAVES, TILE_S, TILE_L), jnp.int32)
+        zeros = jnp.zeros((TILE_S, TILE_L), jnp.int32)
         pops_ref[0] = zeros + n_pops
         tests_ref[0] = zeros + n_tests
 
@@ -414,7 +411,14 @@ def _pack_records(fields, num) -> jax.Array:
 
 def _scene_kernel_inputs(scene: SceneArrays):
     """Derive the kernel's packed arrays from SceneArrays (pure jnp,
-    fused into the surrounding jit)."""
+    fused into the surrounding jit).
+
+    Triangle records carry the PRECOMPUTED intermediates of
+    intersect.point_in_triangle_uv — e0 = C - A, e1 = B - A, their dot
+    products and 1/(dot00*dot11 - dot01^2) — built with the exact same
+    f32 elementwise ops the oracle uses, so the kernel's u/v are
+    bit-identical to the brute-force backend while the per-triangle
+    in-kernel cost drops by ~25 vector ops and one divide."""
     quat = T.euler2quat(scene.inst_pose[:, 3:6])
     pad = jnp.zeros((scene.num_instances, 2), jnp.float32)
     inst_tab = jnp.concatenate(
@@ -440,9 +444,20 @@ def _scene_kernel_inputs(scene: SceneArrays):
     nodef = _pack_records(box_fields, scene.node_child_a.shape[0])
 
     comps = lambda m: (m[:, 0], m[:, 1], m[:, 2])
+    e0 = scene.tri_v2 - scene.tri_v0
+    e1 = scene.tri_v1 - scene.tri_v0
+    e0x, e0y, e0z = comps(e0)
+    e1x, e1y, e1z = comps(e1)
+    # Same op order as intersect.point_in_triangle_uv (jnp.sum over the
+    # 3-vector axis reduces left-to-right) — bit-exact parity.
+    dot00 = e0x * e0x + e0y * e0y + e0z * e0z
+    dot01 = e0x * e1x + e0y * e1y + e0z * e1z
+    dot11 = e1x * e1x + e1y * e1y + e1z * e1z
+    inv_den = 1.0 / (dot00 * dot11 - dot01 * dot01)
     tri_fields = (
-        comps(scene.tri_v0) + comps(scene.tri_v1) + comps(scene.tri_v2)
-        + comps(scene.tri_normal)
+        comps(scene.tri_v0) + comps(scene.tri_normal)
+        + (e0x, e0y, e0z, e1x, e1y, e1z)
+        + (dot00, dot01, dot11, inv_den)
     )
     trif = _pack_records(tri_fields, scene.num_triangles)
     return (inst_tab, inst_root), (code_arr, nodef), (trif,)
@@ -467,24 +482,15 @@ def _stats_enabled() -> bool:
 
 
 def _run_kernel(scene: SceneArrays, tiled, interpret: bool):
-    """Invoke the pallas traversal over [n_tiles, 8, 128] ray tiles,
-    regrouped as [n_groups, N_WAVES, 8, 128] (N_WAVES interleaved
-    traversals per grid step)."""
-    tiled = list(tiled)
-    n_tiles = tiled[0].shape[0]
-    pad = (-n_tiles) % N_WAVES
-    for k in range(6):
-        a = tiled[k]
-        if pad:
-            a = jnp.concatenate([a, jnp.broadcast_to(a[-1:], (pad,) + a.shape[1:])])
-        tiled[k] = a.reshape(-1, N_WAVES, TILE_S, TILE_L)
+    """Invoke the pallas traversal over [n_tiles, TILE_S, 128] ray
+    tiles, one tile per grid step."""
     ox, oy, oz, dx, dy, dz = tiled
-    n_groups = ox.shape[0]
+    n_tiles = ox.shape[0]
     (inst_tab, inst_root), node_arrays, tri_arrays = _scene_kernel_inputs(scene)
     with_stats = _stats_enabled()
 
     ray_spec = pl.BlockSpec(
-        (1, N_WAVES, TILE_S, TILE_L), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        (1, TILE_S, TILE_L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     vmem_whole = lambda a: pl.BlockSpec(
         a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.VMEM
@@ -500,13 +506,13 @@ def _run_kernel(scene: SceneArrays, tiled, interpret: bool):
         + [vmem_whole(a) for a in node_arrays]
         + [vmem_whole(a) for a in tri_arrays]
     )
-    f32s = jax.ShapeDtypeStruct((n_groups, N_WAVES, TILE_S, TILE_L), jnp.float32)
-    i32s = jax.ShapeDtypeStruct((n_groups, N_WAVES, TILE_S, TILE_L), jnp.int32)
+    f32s = jax.ShapeDtypeStruct((n_tiles, TILE_S, TILE_L), jnp.float32)
+    i32s = jax.ShapeDtypeStruct((n_tiles, TILE_S, TILE_L), jnp.int32)
     out_shape = (f32s, i32s, i32s) + ((i32s, i32s) if with_stats else ())
     kernel = functools.partial(_traversal_kernel, scene.num_instances, with_stats)
     outs = pl.pallas_call(
         kernel,
-        grid=(n_groups,),
+        grid=(n_tiles,),
         in_specs=in_specs,
         out_specs=(ray_spec,) * len(out_shape),
         out_shape=out_shape,
@@ -516,15 +522,12 @@ def _run_kernel(scene: SceneArrays, tiled, interpret: bool):
         ),
         interpret=interpret,
     )(*inputs)
-    unpack = lambda a: a.reshape(-1, TILE_S, TILE_L)[:n_tiles]
     if with_stats:
         t, tri, inst, pops, tests = outs
-        # counters are per-GROUP (summed over the waves)
-        _LAST_STATS["pops"] = pops[:, 0, 0, 0]
-        _LAST_STATS["tests"] = tests[:, 0, 0, 0]
-        t, tri, inst = unpack(t), unpack(tri), unpack(inst)
+        _LAST_STATS["pops"] = pops[:, 0, 0]
+        _LAST_STATS["tests"] = tests[:, 0, 0]
     else:
-        t, tri, inst = (unpack(a) for a in outs)
+        t, tri, inst = outs
     return t, tri, inst
 
 
@@ -559,8 +562,9 @@ def _scene_vmem_bytes(scene: SceneArrays) -> int:
 
 def cast_rays_pallas(scene: SceneArrays, origin, directions, interpret=None):
     """Nearest-hit query with the packet kernel. Accepts [H, W, 3]
-    directions (tiled as 32x32 coherent pixel blocks) or flat [..., 3]
-    (chunked linearly). Returns the same Hit record as the XLA backends.
+    directions (tiled as PIX_H x PIX_W coherent pixel blocks) or flat
+    [..., 3] (chunked linearly). Returns the same Hit record as the XLA
+    backends.
     """
     from ..render.renderer import Hit, cast_rays_bvh  # local: avoids cycle
 

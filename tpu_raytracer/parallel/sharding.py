@@ -56,12 +56,15 @@ def render_image_sharded(
 ) -> jax.Array:
     """Render one frame with image rows sharded over ``mesh``.
 
-    Row constraint: H must divide into n_devices * PIX_H blocks so
-    every chip gets whole packet tiles.
+    Row constraint: H must be divisible by n_devices. When each chip's
+    shard height is ALSO a multiple of PIX_H, shards render on the
+    coherent 2D-tile packet path; otherwise they silently take the
+    flat-chunk path (correct, slower) — so heights that are a multiple
+    of n * PIX_H are recommended for performance.
     """
     axis = mesh.axis_names[0]
     n = mesh.shape[axis]
-    if config.height % (n * PIX_H) != 0 and config.height % n != 0:
+    if config.height % n != 0:
         raise ValueError(
             f"height {config.height} not divisible by {n} devices"
         )

@@ -27,6 +27,7 @@ from ..core.vecmath import FLT_MAX, dot, normalize
 from ..scene.scene import SceneArrays
 from .renderer import get_cast_fn, hit_attributes
 from .shade import DEFAULT_LIGHT_DIRECTION, SHADOW_EPS, surface_color
+from .sorted_cast import secondary_cast_fn as _secondary_cast_fn
 
 SKY_F32 = (1.0, 0.8, 0.6)  # raycast.cu:211-213 before the *255
 
@@ -88,6 +89,7 @@ def render_whitted(
     point_lights: tuple = (),
     shadows: bool = True,
     exact: bool = True,
+    sort_secondary: bool = True,
 ) -> jax.Array:
     """Whitted-style recursive reflections, iteratively unrolled.
 
@@ -98,6 +100,7 @@ def render_whitted(
     [..., 3] radiance in [0, 1].
     """
     cast = get_cast_fn(backend)
+    cast2 = _secondary_cast_fn(cast, backend, sort_secondary)
     directions = jnp.asarray(directions, jnp.float32)
     origin = jnp.broadcast_to(jnp.asarray(origin, jnp.float32), directions.shape)
     shape = directions.shape[:-1]
@@ -109,7 +112,7 @@ def render_whitted(
 
     o, d = origin, directions
     for bounce in range(max_bounces + 1):
-        hit = cast(scene, o, d)
+        hit = (cast if bounce == 0 else cast2)(scene, o, d)
         attrs = hit_attributes(scene, o, d, hit, exact=exact)
         miss = active & ~attrs.hit
         radiance = radiance + jnp.where(miss[..., None], throughput * sky, 0.0)
@@ -117,7 +120,7 @@ def render_whitted(
         live = active & attrs.hit
         color = surface_color(scene, attrs)
         illum = _direct_illumination(
-            scene, cast, attrs, light_direction, point_lights, exact, shadows
+            scene, cast2, attrs, light_direction, point_lights, exact, shadows
         )
         illum = jnp.clip(illum, 0.4, 1.0)  # reference clamp (raycast.cu:289-290)
         refl = scene.mat_reflectivity[attrs.material]
@@ -167,6 +170,7 @@ def render_path_traced(
     backend: str = "bvh",
     sky_strength: float = 1.0,
     exact: bool = True,
+    sort_secondary: bool = True,
 ) -> jax.Array:
     """Monte-Carlo path tracing (the stochastic bounce design the
     reference's curand setup anticipated, raycast.cu:190-193).
@@ -174,18 +178,21 @@ def render_path_traced(
     Lambertian BRDF with cosine-weighted sampling, emissive materials
     via mat_illumination, sky as the ambient environment. The bounce
     loop is a dense masked wavefront; samples accumulate via lax.scan
-    (constant memory in the sample count). Returns float [..., 3].
+    (constant memory in the sample count). Secondary bounces are
+    coherence-sorted before packeting (sorted_cast.py). Returns float
+    [..., 3].
     """
     cast = get_cast_fn(backend)
+    cast2 = _secondary_cast_fn(cast, backend, sort_secondary)
     directions = jnp.asarray(directions, jnp.float32)
     origin = jnp.broadcast_to(jnp.asarray(origin, jnp.float32), directions.shape)
     shape = directions.shape[:-1]
     sky = jnp.asarray(SKY_F32, jnp.float32) * sky_strength
 
     def one_sample(carry, key):
-        def bounce_step(state, key_b):
+        def bounce_step(state, key_b, b):
             o, d, throughput, radiance, active = state
-            hit = cast(scene, o, d)
+            hit = (cast if b == 0 else cast2)(scene, o, d)
             attrs = hit_attributes(scene, o, d, hit, exact=exact)
             miss = active & ~attrs.hit
             radiance = radiance + jnp.where(miss[..., None], throughput * sky, 0.0)
@@ -215,7 +222,7 @@ def render_path_traced(
         )
         keys = jax.random.split(key, max_bounces + 1)
         for b in range(max_bounces + 1):
-            state, _ = bounce_step(state, keys[b])
+            state, _ = bounce_step(state, keys[b], b)
         radiance = state[3]
         return carry + radiance, None
 

@@ -24,6 +24,21 @@ import jax.numpy as jnp
 from ..core.vecmath import FLT_MAX, dot
 
 PARALLEL_EPS = jnp.float32(1e-6)
+WATERTIGHT_NUDGE = 1e-12  # absolute box out-round, applied in t-space
+# Inclusive barycentric bound. Exactly-on-edge rays (axis-aligned
+# cameras + vertex rings produce them SYSTEMATICALLY) have u or v == 0
+# in exact math, so f32 rounding decides the hit — and rounds
+# differently between XLA and Mosaic (FMA contraction), and can round
+# NEGATIVE on BOTH triangles sharing the edge (a crack). Accepting down
+# to -EDGE_EPS (dimensionless — barycentric coords are scale-free)
+# moves the accept boundary off the tie point: backends agree and
+# shared edges are watertight. The reference's raw u >= 0 test has the
+# crack. Magnitude: the f32 computation error of u/v is about
+# eps_f32 * |hit point| / edge_length (measured up to ~1e-5 on the
+# colonnade's 0.05-unit cylinder facets 5+ units out), so the margin
+# must dominate that; 1e-3 of an edge length of world-space overhang is
+# far below pixel footprint at any sane resolution.
+EDGE_EPS = 1e-3
 
 
 def ray_plane_hit(origin, direction, tv0, normal):
@@ -68,7 +83,7 @@ def point_in_triangle_uv(point, tv0, tv1, tv2, uv0, uv1, uv2):
     inv_denom = 1.0 / (dot00 * dot11 - dot01 * dot01)
     u = (dot11 * dot02 - dot01 * dot12) * inv_denom
     v = (dot00 * dot12 - dot01 * dot02) * inv_denom
-    inside = (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+    inside = (u >= -EDGE_EPS) & (v >= -EDGE_EPS) & (u + v <= 1.0 + EDGE_EPS)
     w = 1.0 - u - v
     uv = (
         w[..., None] * uv0 + v[..., None] * uv1 + u[..., None] * uv2
@@ -80,9 +95,20 @@ def ray_aabb_entry(origin, inv_direction, box_min, box_max):
     """Slab test: entry distance to an AABB or +inf on miss
     (BVHTree.hpp:40-54). ``hit = far >= near and far > 0``; a ray whose
     origin is inside returns its (negative) entry distance, like the
-    reference."""
-    tmin = (box_min - origin) * inv_direction
-    tmax = (box_max - origin) * inv_direction
+    reference.
+
+    Watertightness: the slab numerators are nudged outward by an
+    ABSOLUTE 1e-12. A ray lying exactly IN a box boundary plane
+    (numerator 0, direction component 0 -> clamped reciprocal ~1e30;
+    axis-aligned scenes + cameras hit this systematically) then gets
+    -1e18/+1e18 instead of a degenerate [0, 0] slab interval, so it
+    correctly counts as inside the slab for all t. For every other ray
+    the t shift is <= 1e-12 * |1/d| — immeasurably small — unlike
+    geometric box padding, whose t error scales as pad/|d| and was
+    measured to cost 62% on axis-aligned scenes via inflated visits."""
+    nudge = jnp.float32(WATERTIGHT_NUDGE)
+    tmin = (box_min - origin - nudge) * inv_direction
+    tmax = (box_max - origin + nudge) * inv_direction
     # fmin/fmax suppress NaN (0 * inf when the origin sits exactly on a
     # box plane with a zero direction component) like the CUDA
     # fminf/fmaxf in the reference slab test — jnp.minimum would

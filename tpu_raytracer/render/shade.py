@@ -83,7 +83,9 @@ def compute_illumination(
         cos_illum = dot(attrs.normal, light_dir)
         illum = jnp.maximum(cos_illum, 0.0)
         if mode == "lambert_shadow":
-            cast = get_cast_fn(backend)
+            from .sorted_cast import secondary_cast_fn
+
+            cast = secondary_cast_fn(get_cast_fn(backend), backend)
             shadow_origin = attrs.location + light_dir * SHADOW_EPS
             occ = cast(scene, shadow_origin, jnp.broadcast_to(light_dir, attrs.location.shape))
             lit = occ.t >= FLT_MAX

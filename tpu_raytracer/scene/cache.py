@@ -5,8 +5,7 @@ The reference rebuilds every BVH from OBJ text on every launch
 checkpoint/resume as a real gap. Here, ``compile_cached`` hashes the
 scene's source data (triangles, instances, materials, builder params)
 and memoizes the full compiled ``SceneArrays`` (BVH included) as an
-npz next to a content hash, so repeat runs skip both BVH construction
-and wide-tree collapse.
+npz next to a content hash, so repeat runs skip BVH construction.
 """
 
 from __future__ import annotations
@@ -24,12 +23,25 @@ DEFAULT_CACHE_DIR = os.environ.get(
 )
 
 
+# Bump when SceneArrays' field set or compile semantics change, so old
+# cache entries never alias a new-format scene.
+_FORMAT_VERSION = b"scenearrays-v2-nowide-nopad"
+
+
 def scene_fingerprint(scene: Scene) -> str:
-    """Content hash over everything that affects compile output."""
+    """Content hash over everything that affects compile output:
+    triangle data, the BUILT BVH of each mesh (which also pins the
+    builder knobs — min_leaf_size, max_depth, builder choice — since
+    they shape the tree), instances, materials, and a format version."""
     h = hashlib.sha256()
+    h.update(_FORMAT_VERSION)
     for mesh in scene.meshes:
         for arr in (mesh.v0, mesh.v1, mesh.v2, mesh.normal,
                     mesh.uv0, mesh.uv1, mesh.uv2):
+            h.update(np.ascontiguousarray(arr).tobytes())
+        b = mesh.bvh
+        for arr in (b.node_min, b.node_max, b.child_a, b.child_b,
+                    b.leaf_start, b.leaf_count):
             h.update(np.ascontiguousarray(arr).tobytes())
     for inst in scene.mesh_instances:
         h.update(np.int64(inst.mesh_index).tobytes())

@@ -46,9 +46,13 @@ def parse_obj(text: str):
                 v_idx.append(int(parts[0]) - 1)
                 if len(parts) > 1 and parts[1] != "":
                     t_idx.append(int(parts[1]) - 1)
+            # attach UVs only when EVERY face token carried a vt index;
+            # a face mixing 'v/t' and bare 'v' degrades to un-textured
+            # instead of mis-indexing the fan
+            textured = len(t_idx) == len(v_idx)
             for i in range(1, len(v_idx) - 1):
                 tri_v.append((v_idx[0], v_idx[i], v_idx[i + 1]))
-                if t_idx:
+                if textured:
                     tri_t.append((t_idx[0], t_idx[i], t_idx[i + 1]))
                 else:
                     tri_t.append(None)

@@ -70,8 +70,7 @@ def cornell_box() -> dict[str, np.ndarray]:
     walls["floor"] = quad((0, 0, 0), (2, 0, 0), (2, 2, 0), (0, 2, 0))
     # ceiling (z=2), normal -z
     walls["ceiling"] = quad((0, 0, 2), (0, 2, 2), (2, 2, 2), (2, 0, 2))
-    # back wall (y=2), normal -y
-    walls["back"] = quad((0, 0, 2), (2, 0, 2), (2, 0, 0), (0, 0, 0))
+    # back wall (y=2), normal -y (the -y side stays open, camera side)
     walls["back"] = quad((0, 2, 0), (2, 2, 0), (2, 2, 2), (0, 2, 2))
     # left wall (x=0), normal +x
     walls["left"] = quad((0, 0, 0), (0, 2, 0), (0, 2, 2), (0, 0, 2))

@@ -55,10 +55,6 @@ class SceneArrays:
     node_leaf_start: jax.Array  # [N] i32 (global triangle index)
     node_leaf_count: jax.Array  # [N] i32
     mesh_root: jax.Array  # [M] i32 root node per mesh
-    # 8-wide collapsed BVH (accel/wide.py) — the packet kernel's tree
-    wide_code: jax.Array  # [W] i32 packed child_base / leaf info
-    wide_box: jax.Array  # [W, 8, 6] f32 children boxes
-    wide_root: jax.Array  # [M] i32 wide root per mesh
     # Instances (inverses precomputed, MeshInstance.hpp:39-46)
     inst_mesh: jax.Array  # [I] i32
     inst_material: jax.Array  # [I] i32
@@ -137,9 +133,21 @@ class Scene:
     def update_mesh_instance(self, index: int, instance: MeshInstance) -> None:
         self.mesh_instances[index] = instance
 
-    def compile(self) -> SceneArrays:
+    def compile(self, box_pad_ulp: float = 2.0 ** -21) -> SceneArrays:
         """Flatten to SceneArrays (the upload_to_device analog,
-        Scene.cpp:25-65)."""
+        Scene.cpp:25-65).
+
+        ``box_pad_ulp``: relative out-rounding of BVH node boxes
+        (pad = max(|min|,|max|) * box_pad_ulp per axis). The f32
+        barycentric triangle test (same math as the reference)
+        accepts grazing hits up to ~1 coordinate-ulp outside the exact
+        triangle, so tight boxes would cull rays the triangle test
+        accepts — visible as a stripe of false misses for rays nearly
+        parallel to large axis-aligned faces. ~6 ulps (2^-21) keeps the
+        BVH backends bit-consistent with the brute-force oracle.
+        Set 0.0 to disable (tight boxes). Exactly-on-plane rays with
+        zero direction components are handled separately by the
+        in-kernel 1e-12 numerator nudge (render/intersect.py)."""
         if not self.meshes or not self.mesh_instances or not self.materials:
             raise ValueError("scene needs at least one mesh, instance and material")
 
@@ -164,11 +172,15 @@ class Scene:
             # (kernels/traversal.py): DFS preorder (left child follows
             # its parent) and bounded leaf sizes.
             idx = np.nonzero(internal)[0]
-            assert (b.child_a[idx] == idx + 1).all(), "BVH not DFS preorder"
-            assert b.leaf_count.max(initial=0) < 1024, (
-                f"leaf with {b.leaf_count.max()} triangles exceeds the "
-                "kernel's 10-bit leaf size (degenerate mesh?)"
-            )
+            # ValueError (not assert): these are load-bearing for the
+            # packet kernel's packed node codes and must survive -O.
+            if not (b.child_a[idx] == idx + 1).all():
+                raise ValueError("BVH not DFS preorder")
+            if not b.leaf_count.max(initial=0) < 1024:
+                raise ValueError(
+                    f"leaf with {b.leaf_count.max()} triangles exceeds the "
+                    "kernel's 10-bit leaf size (degenerate mesh?)"
+                )
             node_parts["min"].append(b.node_min)
             node_parts["max"].append(b.node_max)
             node_parts["ca"].append(np.where(internal, b.child_a + node_off, -1).astype(np.int32))
@@ -208,25 +220,13 @@ class Scene:
         i32 = lambda x: jnp.asarray(np.asarray(x, np.int32))
         cat = np.concatenate
 
-        # Out-round node boxes by ~1 ulp: rays lying exactly IN a box
-        # boundary plane (axis-aligned scenes + axis-aligned cameras hit
-        # this systematically) would otherwise get a half-open slab
-        # interval and falsely miss. Conservative-only: traversal may
-        # visit a node extra, never skip one.
-        mn = cat(node_parts["min"])
-        mx = cat(node_parts["max"])
-        pad = np.maximum(np.abs(mn), np.abs(mx)) * np.float32(2**-21) + np.float32(1e-30)
-        node_parts["min"] = [mn - pad]
-        node_parts["max"] = [mx + pad]
+        if box_pad_ulp:
+            mn = cat(node_parts["min"])
+            mx = cat(node_parts["max"])
+            pad = np.maximum(np.abs(mn), np.abs(mx)) * np.float32(box_pad_ulp)
+            node_parts["min"] = [mn - pad]
+            node_parts["max"] = [mx + pad]
 
-        from ..accel.wide import collapse_to_wide
-
-        wide_code, wide_box, wide_root = collapse_to_wide(
-            cat(node_parts["min"]), cat(node_parts["max"]),
-            cat(node_parts["ca"]), cat(node_parts["cb"]),
-            cat(node_parts["ls"]), cat(node_parts["lc"]),
-            np.asarray(mesh_root),
-        )
         return SceneArrays(
             tri_v0=f32(cat(tri_parts["v0"])),
             tri_v1=f32(cat(tri_parts["v1"])),
@@ -243,9 +243,6 @@ class Scene:
             node_leaf_start=i32(cat(node_parts["ls"])),
             node_leaf_count=i32(cat(node_parts["lc"])),
             mesh_root=i32(mesh_root),
-            wide_code=i32(wide_code),
-            wide_box=f32(wide_box),
-            wide_root=i32(wide_root),
             inst_mesh=i32([inst.mesh_index for inst in self.mesh_instances]),
             inst_material=i32([inst.material_index for inst in self.mesh_instances]),
             inst_pose=f32([d["pose"] for d in inv]),
