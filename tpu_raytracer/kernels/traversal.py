@@ -76,11 +76,14 @@ from ..core import transforms as T
 from ..render.intersect import EDGE_EPS, WATERTIGHT_NUDGE
 from ..scene.scene import SceneArrays
 
-TILE_S = 32  # sublanes (4 vregs per VPU op)
 TILE_L = 128  # lanes
-TILE = TILE_S * TILE_L  # rays per packet (4096)
-PIX_H = 64  # pixel block height
-PIX_W = 64  # pixel block width (PIX_H * PIX_W == TILE)
+# Pixel-block packet geometry; env-overridable for sweeps (PIX_H * PIX_W
+# must be a multiple of 8 * TILE_L so TILE_S stays sublane-aligned).
+PIX_H = int(os.environ.get("TRT_PIX_H", "64"))  # pixel block height
+PIX_W = int(os.environ.get("TRT_PIX_W", "64"))  # pixel block width
+TILE = PIX_H * PIX_W  # rays per packet (4096 measured optimal r1)
+TILE_S = TILE // TILE_L  # sublanes (4 vregs per VPU op at 32)
+assert TILE_S % 8 == 0, "packet sublanes must be 8-aligned"
 # Packet-size sweep on the 82k-tri 1080p scene (pipelined timing):
 # 32x32 (1024 rays) 74 Mrays/s, 64x64 (4096) 111.6, 64x128 (8192) 103.5
 # -> bigger packets amortize the latency-bound pop loop until union
@@ -99,7 +102,14 @@ LEAF_BITS = 10
 LEAF_SHIFT = 1 << LEAF_BITS
 MAX_LEAF_TRIS = LEAF_SHIFT - 1
 
-POP_K = 2  # nodes popped per scalar/vector sync
+# Nodes popped per scalar/vector sync. More pops per sync amortize the
+# vector->SMEM->scalar round-trip (the measured per-iteration latency
+# floor) at the cost of a slightly degraded descent order: pops 2..K
+# can't see pop 1's stack pushes or leaf t-updates.
+# Swept on the 82k-tri 1080p config: K=2 131.7, K=3 135.4, K=4 134.2,
+# K=6 116.8 Mrays/s — the scalar stall is mostly amortized by K=2-3 and
+# larger K degrades descent order (more visits) for no sync savings.
+POP_K = int(os.environ.get("TRT_POP_K", "3"))
 
 # SMEM scratch slot map (after the stack)
 _S_CODE = STACK_SIZE  # +POP_K
@@ -125,21 +135,24 @@ def _quat_rot(qw, qx, qy, qz, vx, vy, vz):
 def _traversal_kernel(
     num_instances: int,
     with_stats: bool,
+    frustum: bool,
+    bf16_box: bool,
     *refs,
 ):
     (
         inst_tab_ref,  # SMEM [I, 12] f32: quat(4) xyz(3) inv_scale(3) pad
         inst_root_ref,  # SMEM [I] i32 root node id
+        frust_ref,  # SMEM [1, I, 12] f32 per-(tile,instance) packet bounds
         ox_ref, oy_ref, oz_ref,  # VMEM [1, TILE_S, 128] f32 ray origins
         dx_ref, dy_ref, dz_ref,  # VMEM [1, TILE_S, 128] f32 ray directions
         code_ref,  # VMEM [ceil(N/128), 128] i32 packed control words
         nodef_ref,  # VMEM [ceil(N/8), 128] f32 16-lane records: A+B boxes
         trif_ref,  # VMEM [ceil(T/8), 128] f32 16-lane records (see module doc)
-    ) = refs[:11]
+    ) = refs[:12]
     if with_stats:
-        t_out_ref, tri_out_ref, inst_out_ref, pops_ref, tests_ref, smem_ref = refs[11:]
+        t_out_ref, tri_out_ref, inst_out_ref, pops_ref, tests_ref, smem_ref = refs[12:]
     else:
-        t_out_ref, tri_out_ref, inst_out_ref, smem_ref = refs[11:]
+        t_out_ref, tri_out_ref, inst_out_ref, smem_ref = refs[12:]
 
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_L), 1)
     lane16 = jax.lax.broadcasted_iota(jnp.int32, (REC_LANES, TILE_L), 1)
@@ -193,23 +206,146 @@ def _traversal_kernel(
 
         idx_, idy_, idz_ = _inv(odx), _inv(ody), _inv(odz)
 
+        if bf16_box and not frustum:
+            # bf16 slab tests (v12): same per-ray test + per-ray
+            # t-pruning as the f32 path, at half the vector registers
+            # per op. Conservative-superset correctness:
+            #   * box fields are pre-rounded outward onto the bf16 grid
+            #     at pack time (_bf16_below/_bf16_above), so the
+            #     in-kernel convert is exact;
+            #   * each t = fl(fl(b - o_bf) * inv_bf) carries relative
+            #     error <= ~3*2^-8 plus |o*inv|*2^-8 absolute (o_bf and
+            #     inv_bf are RN conversions); near/far are widened by
+            #     |t|*2^-6 + wsum where wsum = sum_axis |o*inv|*2^-7;
+            #   * the t-cap compares against t_best * (1 + 2^-6).
+            # Every node the f32 test would descend is descended, so hit
+            # results are unchanged (leaf tests stay f32 bit-exact);
+            # only visit counts and equal-t tie order can differ.
+            b16 = jnp.bfloat16
+            obx = oox.astype(b16)
+            oby = ooy.astype(b16)
+            obz = ooz.astype(b16)
+            ibx = idx_.astype(b16)
+            iby = idy_.astype(b16)
+            ibz = idz_.astype(b16)
+            wsum = (
+                jnp.abs(oox * idx_) + jnp.abs(ooy * idy_) + jnp.abs(ooz * idz_)
+            ) * (2.0 ** -7)
+
+            def packet_entry_bf16(rec, base, tb_wide):
+                """Conservative bf16 packet slab test; returns the min
+                widened entry over lanes whose test beats their widened
+                best, or BIG. The sub/mul/min-max tree runs in bf16
+                (half the vregs); near/far are widened back to f32 for
+                the compare phase — v5e Mosaic has no bf16 vector
+                compares ("Target does not support this comparison")."""
+                r = lambda j: rec[base + j : base + j + 1, :].astype(b16)
+                t1x = (r(0) - obx) * ibx
+                t1y = (r(1) - oby) * iby
+                t1z = (r(2) - obz) * ibz
+                t2x = (r(3) - obx) * ibx
+                t2y = (r(4) - oby) * iby
+                t2z = (r(5) - obz) * ibz
+                near = jnp.maximum(
+                    jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+                    jnp.minimum(t1z, t2z),
+                ).astype(jnp.float32)
+                far = jnp.minimum(
+                    jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+                    jnp.maximum(t1z, t2z),
+                ).astype(jnp.float32)
+                near = near - (jnp.abs(near) * (2.0 ** -6) + wsum)
+                far = far + (jnp.abs(far) * (2.0 ** -6) + wsum)
+                hit = (far >= near) & (far > 0.0) & (near < tb_wide)
+                return jnp.min(jnp.where(hit, near, BIG))
+
+        if frustum:
+            # Packet-frustum interval test (v11): instead of slab-testing
+            # all TILE rays against each box (6 fields x [TILE_S, 128]
+            # ops per child), test ONE conservative interval built from
+            # the packet's object-space origin / reciprocal-direction
+            # bounds (precomputed per tile+instance outside the kernel,
+            # see _frustum_table). The whole test runs on the node's
+            # [16, 128] record value — both children at once — cutting
+            # the per-pop vector work ~10x. Conservative-superset
+            # semantics: every node the per-ray test would descend is
+            # descended (classic packet interval-arithmetic traversal a
+            # la Wald06, re-derived for VPU row ops), so hit results are
+            # unchanged; only visit counts (and t-ordering of equal-t
+            # ties) can differ.
+            g = lambda j: frust_ref[0, i, j]
+            olx, oly, olz = g(0), g(1), g(2)
+            ohx, ohy, ohz = g(3), g(4), g(5)
+            ilx, ily, ilz = g(6), g(7), g(8)
+            ihx, ihy, ihz = g(9), g(10), g(11)
+
+            def row_const(vals):
+                acc = jnp.zeros((REC_LANES, TILE_L), jnp.float32)
+                for r, sv in enumerate(vals):
+                    acc = jnp.where(sub16 == r, sv, acc)
+                return acc
+
+            # Numerator intervals: n = b - o with o in [oo_lo, oo_hi]
+            # (the watertight NUDGE is baked into the packed box rows).
+            sub_hi = row_const([ohx, ohy, ohz] * 4)
+            sub_lo = row_const([olx, oly, olz] * 4)
+            inv_lo_r = row_const([ilx, ily, ilz] * 4)
+            inv_hi_r = row_const([ihx, ihy, ihz] * 4)
+
+            def frustum_words(rec, t_cap11):
+                """Push word for one node record: interval slab test of
+                both child boxes. Product interval endpoints = extreme
+                corner products; near_lo = max over axes of the slab-min
+                lower bound, far_hi = min over axes of the slab-max
+                upper bound."""
+                nlo = rec - sub_hi
+                nhi = rec - sub_lo
+                p1 = nlo * inv_lo_r
+                p2 = nlo * inv_hi_r
+                p3 = nhi * inv_lo_r
+                p4 = nhi * inv_hi_r
+                tmn = jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4))
+                tmx = jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4))
+
+                def box(b):
+                    nears = jnp.minimum(tmn[b:b + 3, :], tmn[b + 3:b + 6, :])
+                    fars = jnp.maximum(tmx[b:b + 3, :], tmx[b + 3:b + 6, :])
+                    near = jnp.max(nears, axis=0, keepdims=True)
+                    far = jnp.min(fars, axis=0, keepdims=True)
+                    hit = (far >= near) & (far > 0.0) & (near < t_cap11)
+                    return near, hit
+
+                near_a, hit_a = box(0)
+                near_b, hit_b = box(6)
+                w = (
+                    (near_a <= near_b).astype(jnp.int32)
+                    + 2 * hit_a.astype(jnp.int32)
+                    + 4 * hit_b.astype(jnp.int32)
+                )
+                return jnp.sum(jnp.where(lane1 == 0, w, 0))
+
         def packet_entry(rec, base, t_cap):
             """Packet slab test (BVHTree.hpp:40-54) against the box in
             record rows [base, base+6); returns the min entry over lanes
-            that beat their best, or BIG. Numerators nudged outward by
-            an absolute 1e-12 (watertight; see intersect.ray_aabb_entry)."""
+            that beat their best, or BIG. The absolute 1e-12 watertight
+            out-round (see intersect.ray_aabb_entry) is BAKED into the
+            packed box fields at pack time (_scene_kernel_inputs) —
+            saves 6 vector adds per child test; the compile-time
+            relative box pad (scene.py box_pad_ulp) covers the
+            large-coordinate planes where an absolute 1e-12 would be
+            rounded away."""
             bminx = rec[base + 0 : base + 1, :]
             bminy = rec[base + 1 : base + 2, :]
             bminz = rec[base + 2 : base + 3, :]
             bmaxx = rec[base + 3 : base + 4, :]
             bmaxy = rec[base + 4 : base + 5, :]
             bmaxz = rec[base + 5 : base + 6, :]
-            t1x = (bminx - oox - NUDGE) * idx_
-            t2x = (bmaxx - oox + NUDGE) * idx_
-            t1y = (bminy - ooy - NUDGE) * idy_
-            t2y = (bmaxy - ooy + NUDGE) * idy_
-            t1z = (bminz - ooz - NUDGE) * idz_
-            t2z = (bmaxz - ooz + NUDGE) * idz_
+            t1x = (bminx - oox) * idx_
+            t2x = (bmaxx - oox) * idx_
+            t1y = (bminy - ooy) * idy_
+            t2y = (bmaxy - ooy) * idy_
+            t1z = (bminz - ooz) * idz_
+            t2z = (bmaxz - ooz) * idz_
             # fmin/fmax suppress the 0*inf NaN (origin exactly on a
             # box plane) like the reference's CUDA fminf/fmaxf.
             near = jnp.maximum(
@@ -275,62 +411,65 @@ def _traversal_kernel(
                 jnp.where(ok, i, in_b),
             )
 
-        def pop2(sp, t_b):
-            """Pop up to POP_K(=2) nodes in ONE vector/scalar round-trip.
+        def popk(sp, t_b):
+            """Pop up to POP_K nodes in ONE vector/scalar round-trip.
 
             Straight-line, branchless (lax.cond regions fence the
-            scheduler). All vector->SMEM stores (both codes + both push
+            scheduler). All vector->SMEM stores (all codes + all push
             words) are issued before ANY scalar read, so the scalar core
-            takes ONE combined stall for two nodes instead of one per
-            node. Returns (sp', (start1, count1), (start2, count2),
+            takes ONE combined stall for POP_K nodes instead of one per
+            node. Returns (sp', [(start_j, count_j)...] nearest-first,
             pops) with counts 0 for internal/inactive pops."""
-            a1 = (sp > 0).astype(jnp.int32)
-            i1 = jnp.maximum(sp - 1, 0)
-            node1 = smem_ref[i1]
-            a2 = (sp > 1).astype(jnp.int32)
-            i2 = jnp.maximum(sp - 2, 0)
-            node2 = smem_ref[i2]
-            spm = sp - a1 - a2
+            nodes, acts = [], []
+            spm = sp
+            for j in range(POP_K):
+                acts.append((sp > j).astype(jnp.int32))
+                nodes.append(smem_ref[jnp.maximum(sp - 1 - j, 0)])
+                spm = spm - acts[j]
 
             # --- vector phase: issue everything, read nothing ---
-            crow1 = code_ref[pl.ds(node1 // TILE_L, 1), :]
-            smem_ref[_S_CODE + 0] = jnp.sum(
-                jnp.where(lane1 == node1 % TILE_L, crow1, 0)
-            )
-            crow2 = code_ref[pl.ds(node2 // TILE_L, 1), :]
-            smem_ref[_S_CODE + 1] = jnp.sum(
-                jnp.where(lane1 == node2 % TILE_L, crow2, 0)
-            )
-            rec1 = fetch_record(nodef_ref, node1)
-            rec2 = fetch_record(nodef_ref, node2)
-            da1 = packet_entry(rec1, 0, t_b)
-            db1 = packet_entry(rec1, 6, t_b)
-            da2 = packet_entry(rec2, 0, t_b)
-            db2 = packet_entry(rec2, 6, t_b)
-            # Ordered push, far child first (raycast.cu:72-79); all
-            # vector-derived decisions in ONE sync word per node.
-            smem_ref[_S_PUSH + 0] = (
-                (da1 <= db1).astype(jnp.int32)
-                + 2 * (da1 < BIG).astype(jnp.int32)
-                + 4 * (db1 < BIG).astype(jnp.int32)
-            )
-            smem_ref[_S_PUSH + 1] = (
-                (da2 <= db2).astype(jnp.int32)
-                + 2 * (da2 < BIG).astype(jnp.int32)
-                + 4 * (db2 < BIG).astype(jnp.int32)
-            )
+            if frustum:
+                # Packet t-cap: max best-hit distance over all rays
+                # (per-ray caps need per-ray tests; the packet bound is
+                # the conservative scalar equivalent).
+                t_cap11 = jnp.max(t_b, keepdims=True).reshape(1, 1)
+            for j in range(POP_K):
+                node = nodes[j]
+                crow = code_ref[pl.ds(node // TILE_L, 1), :]
+                smem_ref[_S_CODE + j] = jnp.sum(
+                    jnp.where(lane1 == node % TILE_L, crow, 0)
+                )
+                rec = fetch_record(nodef_ref, node)
+                if frustum:
+                    smem_ref[_S_PUSH + j] = frustum_words(rec, t_cap11)
+                else:
+                    if bf16_box:
+                        tb_wide = t_b * (1.0 + 2.0 ** -6)
+                        da = packet_entry_bf16(rec, 0, tb_wide)
+                        db = packet_entry_bf16(rec, 6, tb_wide)
+                    else:
+                        da = packet_entry(rec, 0, t_b)
+                        db = packet_entry(rec, 6, t_b)
+                    # Ordered push, far child first (raycast.cu:72-79);
+                    # all vector-derived decisions in ONE sync word.
+                    smem_ref[_S_PUSH + j] = (
+                        (da <= db).astype(jnp.int32)
+                        + 2 * (da < BIG).astype(jnp.int32)
+                        + 4 * (db < BIG).astype(jnp.int32)
+                    )
 
             # --- scalar phase (single combined stall) ---
-            # node2's children go on the stack first so node1's (the
-            # nearer pop) are popped first next iteration.
+            # The farthest pop's children go on the stack first so the
+            # nearest pop's are popped first next iteration.
             sp_out = spm
             leaf = []
-            for node, act, slot in ((node2, a2, 1), (node1, a1, 0)):
-                code = smem_ref[_S_CODE + slot]
+            for j in reversed(range(POP_K)):
+                node, act = nodes[j], acts[j]
+                code = smem_ref[_S_CODE + j]
                 is_int = ((code >= 0).astype(jnp.int32)) * act
                 ca = node + 1  # DFS preorder: left child follows parent
                 cb = jnp.maximum(code, 0)
-                w_ = smem_ref[_S_PUSH + slot] * is_int
+                w_ = smem_ref[_S_PUSH + j] * is_int
                 a_first = 1 - (w_ & 1)
                 pa = (w_ >> 1) & 1
                 pb = (w_ >> 2) & 1
@@ -348,8 +487,12 @@ def _traversal_kernel(
                 leaf_flag = act - is_int  # 1 only for an active leaf pop
                 count = (packed & MAX_LEAF_TRIS) * leaf_flag
                 leaf.append((start, count))
-            # leaf[1] is node1 (nearer) — test it first for pruning.
-            return sp_out, leaf[1], leaf[0], a1 + a2
+            pops = acts[0]
+            for a in acts[1:]:
+                pops = pops + a
+            # leaf was built farthest-first; reverse to nearest-first so
+            # the nearest pop's triangles are tested first for pruning.
+            return sp_out, leaf[::-1], pops
 
         def leaf_loop(start, count, st):
             def quad_body(q, acc):
@@ -367,10 +510,12 @@ def _traversal_kernel(
 
         def body(carry):
             sp, state, np_, nt_ = carry
-            sp, (s1, c1), (s2, c2), pops = pop2(sp, state[0])
-            state = leaf_loop(s1, c1, state)
-            state = leaf_loop(s2, c2, state)
-            return sp, state, np_ + pops, nt_ + c1 + c2
+            sp, leaves, pops = popk(sp, state[0])
+            nt = nt_
+            for s_, c_ in leaves:
+                state = leaf_loop(s_, c_, state)
+                nt = nt + c_
+            return sp, state, np_ + pops, nt
 
         root = inst_root_ref[i]
         smem_ref[0] = root
@@ -409,7 +554,29 @@ def _pack_records(fields, num) -> jax.Array:
     return rec.reshape(-1, TILE_L)
 
 
-def _scene_kernel_inputs(scene: SceneArrays):
+def _bf16_below(x: jax.Array) -> jax.Array:
+    """Largest bf16-representable f32 <= x (directed rounding for
+    conservative bf16 box mins). Sub-1e-38 magnitudes may flush on TPU;
+    geometry at that scale is zero in practice."""
+    b = x.astype(jnp.bfloat16)
+    bf = b.astype(jnp.float32)
+    u = jax.lax.bitcast_convert_type(b, jnp.uint16)
+    pos = bf >= 0
+    stepped = jnp.where(
+        pos,
+        jnp.where(u == 0, jnp.uint16(0x8001), u - jnp.uint16(1)),
+        u + jnp.uint16(1),
+    )
+    b2 = jax.lax.bitcast_convert_type(stepped, jnp.bfloat16).astype(jnp.float32)
+    return jnp.where(bf > x, b2, bf)
+
+
+def _bf16_above(x: jax.Array) -> jax.Array:
+    """Smallest bf16-representable f32 >= x."""
+    return -_bf16_below(-x)
+
+
+def _scene_kernel_inputs(scene: SceneArrays, bf16_box: bool = False):
     """Derive the kernel's packed arrays from SceneArrays (pure jnp,
     fused into the surrounding jit).
 
@@ -438,8 +605,20 @@ def _scene_kernel_inputs(scene: SceneArrays):
     cb = jnp.maximum(scene.node_child_b, 0)
     box_fields = []
     for c in (ca, cb):
-        mn = scene.node_min[c]
-        mx = scene.node_max[c]
+        # Bake the watertight absolute out-round (intersect.NUDGE) into
+        # the packed fields so the kernel's slab test needs no runtime
+        # nudge adds. At |coord| >> 1e-12 the nudge rounds away here,
+        # but those planes are covered by the relative compile-time pad
+        # (scene.py box_pad_ulp); colonnade oracle verifies the combo.
+        mn = scene.node_min[c] - NUDGE
+        mx = scene.node_max[c] + NUDGE
+        if bf16_box:
+            # Directed-round the boxes outward onto the bf16 grid so the
+            # kernel's f32->bf16 convert of these fields is EXACT (RN of
+            # a bf16-representable value): the only box inflation is one
+            # bf16 ulp, and the bf16 slab test stays conservative.
+            mn = _bf16_below(mn)
+            mx = _bf16_above(mx)
         box_fields += [mn[:, 0], mn[:, 1], mn[:, 2], mx[:, 0], mx[:, 1], mx[:, 2]]
     nodef = _pack_records(box_fields, scene.node_child_a.shape[0])
 
@@ -463,6 +642,51 @@ def _scene_kernel_inputs(scene: SceneArrays):
     return (inst_tab, inst_root), (code_arr, nodef), (trif,)
 
 
+# Safety widen applied to the packet bounds: the in-kernel per-ray
+# transform (_quat_rot + scale + _inv) is op-identical to the jnp
+# computation below, but a few-ulp relative widen guards any future
+# divergence at zero visit cost.
+_FRUSTUM_REL = 4e-6
+_FRUSTUM_ABS = 1e-12
+
+
+def _frustum_table(scene: SceneArrays, tiled) -> jax.Array:
+    """[n_tiles, I, 12] per-(tile, instance) packet bounds for the
+    interval traversal: object-space origin min/max (6) and clamped
+    reciprocal-direction min/max (6). Pure jnp — fuses into the
+    surrounding jit; exact same per-ray ops as the kernel's object-space
+    transform, reduced over each tile."""
+    ox, oy, oz, dx, dy, dz = tiled
+    n_tiles = ox.shape[0]
+    o = jnp.stack([ox, oy, oz], axis=-1).reshape(n_tiles, TILE, 3)
+    d = jnp.stack([dx, dy, dz], axis=-1).reshape(n_tiles, TILE, 3)
+    quat = T.euler2quat(scene.inst_pose[:, 3:6])  # [I, 4]
+    pos = scene.inst_pose[:, 0:3]
+    inv_scale = scene.inst_inv_scale
+
+    def per_instance(q, p, s):
+        od = T.apply_quat(q, d) * s  # [n_tiles, TILE, 3]
+        oo = T.apply_quat(q, o - p) * s
+        tiny = 1e-30
+        safe = jnp.where(jnp.abs(od) < tiny,
+                         jnp.where(od < 0, -tiny, tiny), od)
+        inv = 1.0 / safe
+
+        def lohi(v):
+            lo = jnp.min(v, axis=1)
+            hi = jnp.max(v, axis=1)
+            lo = lo - (jnp.abs(lo) * _FRUSTUM_REL + _FRUSTUM_ABS)
+            hi = hi + (jnp.abs(hi) * _FRUSTUM_REL + _FRUSTUM_ABS)
+            return lo, hi
+
+        oo_lo, oo_hi = lohi(oo)
+        inv_lo, inv_hi = lohi(inv)
+        return jnp.concatenate([oo_lo, oo_hi, inv_lo, inv_hi], axis=-1)
+
+    tab = jax.vmap(per_instance)(quat, pos, inv_scale)  # [I, n_tiles, 12]
+    return tab.transpose(1, 0, 2).astype(jnp.float32)
+
+
 def _image_to_tiles(arr: jax.Array) -> jax.Array:
     """[H, W] -> [n_tiles, TILE_S, TILE_L] where each tile is one
     PIX_H x PIX_W pixel block (coherent packets)."""
@@ -481,13 +705,21 @@ def _stats_enabled() -> bool:
     return os.environ.get("TRT_KERNEL_STATS", "0") == "1"
 
 
-def _run_kernel(scene: SceneArrays, tiled, interpret: bool):
+def _run_kernel(scene: SceneArrays, tiled, interpret: bool, frustum: bool,
+                bf16_box: bool):
     """Invoke the pallas traversal over [n_tiles, TILE_S, 128] ray
     tiles, one tile per grid step."""
     ox, oy, oz, dx, dy, dz = tiled
     n_tiles = ox.shape[0]
-    (inst_tab, inst_root), node_arrays, tri_arrays = _scene_kernel_inputs(scene)
+    (inst_tab, inst_root), node_arrays, tri_arrays = _scene_kernel_inputs(
+        scene, bf16_box=bf16_box and not frustum
+    )
     with_stats = _stats_enabled()
+    frust_tab = (
+        _frustum_table(scene, tiled)
+        if frustum
+        else jnp.zeros((n_tiles, scene.num_instances, 12), jnp.float32)
+    )
 
     ray_spec = pl.BlockSpec(
         (1, TILE_S, TILE_L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -498,10 +730,16 @@ def _run_kernel(scene: SceneArrays, tiled, interpret: bool):
     smem_whole = lambda a: pl.BlockSpec(
         a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.SMEM
     )
+    frust_spec = pl.BlockSpec(
+        (1, scene.num_instances, 12),
+        lambda i: (i, 0, 0),
+        memory_space=pltpu.SMEM,
+    )
 
-    inputs = (inst_tab, inst_root, ox, oy, oz, dx, dy, dz, *node_arrays, *tri_arrays)
+    inputs = (inst_tab, inst_root, frust_tab,
+              ox, oy, oz, dx, dy, dz, *node_arrays, *tri_arrays)
     in_specs = (
-        [smem_whole(inst_tab), smem_whole(inst_root)]
+        [smem_whole(inst_tab), smem_whole(inst_root), frust_spec]
         + [ray_spec] * 6
         + [vmem_whole(a) for a in node_arrays]
         + [vmem_whole(a) for a in tri_arrays]
@@ -509,7 +747,10 @@ def _run_kernel(scene: SceneArrays, tiled, interpret: bool):
     f32s = jax.ShapeDtypeStruct((n_tiles, TILE_S, TILE_L), jnp.float32)
     i32s = jax.ShapeDtypeStruct((n_tiles, TILE_S, TILE_L), jnp.int32)
     out_shape = (f32s, i32s, i32s) + ((i32s, i32s) if with_stats else ())
-    kernel = functools.partial(_traversal_kernel, scene.num_instances, with_stats)
+    kernel = functools.partial(
+        _traversal_kernel, scene.num_instances, with_stats, frustum,
+        bf16_box and not frustum,
+    )
     outs = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -560,11 +801,29 @@ def _scene_vmem_bytes(scene: SceneArrays) -> int:
     return (tri_rows + node_rows) * TILE_L * 4 + code_rows * TILE_L * 4
 
 
-def cast_rays_pallas(scene: SceneArrays, origin, directions, interpret=None):
+def _frustum_default() -> bool:
+    # Measured on the 82k-tri 1080p config (v11): the interval test cuts
+    # per-pop vector work ~10x but loses per-ray t-pruning (packet cap =
+    # max t_best, which is BIG for any tile containing a sky ray):
+    # pops 52->87, tri tests 138->309, net 125 -> 85 Mrays/s. Kept as an
+    # A/B option; the dense per-ray test stays the default.
+    return os.environ.get("TRT_FRUSTUM", "0") == "1"
+
+
+def _bf16_default() -> bool:
+    return os.environ.get("TRT_BF16_BOX", "0") == "1"
+
+
+def cast_rays_pallas(scene: SceneArrays, origin, directions, interpret=None,
+                     frustum=None, bf16_box=None):
     """Nearest-hit query with the packet kernel. Accepts [H, W, 3]
     directions (tiled as PIX_H x PIX_W coherent pixel blocks) or flat
     [..., 3] (chunked linearly). Returns the same Hit record as the XLA
     backends.
+
+    ``frustum`` selects the packet-interval box test (A/B option, off by
+    default — see _frustum_default) and ``bf16_box`` the conservative
+    bf16 slab test; TRT_FRUSTUM=1 / TRT_BF16_BOX=1 flip the defaults.
     """
     from ..render.renderer import Hit, cast_rays_bvh  # local: avoids cycle
 
@@ -572,6 +831,10 @@ def cast_rays_pallas(scene: SceneArrays, origin, directions, interpret=None):
         return cast_rays_bvh(scene, origin, directions)
     if interpret is None:
         interpret = not _on_tpu()
+    if frustum is None:
+        frustum = _frustum_default()
+    if bf16_box is None:
+        bf16_box = _bf16_default()
     directions = jnp.asarray(directions, jnp.float32)
     origin = jnp.broadcast_to(jnp.asarray(origin, jnp.float32), directions.shape)
     shape = directions.shape[:-1]
@@ -588,7 +851,7 @@ def cast_rays_pallas(scene: SceneArrays, origin, directions, interpret=None):
             [(origin, 0), (origin, 1), (origin, 2),
              (directions, 0), (directions, 1), (directions, 2)]
         )
-        t, tri, inst = _run_kernel(scene, tiled, interpret)
+        t, tri, inst = _run_kernel(scene, tiled, interpret, frustum, bf16_box)
         return Hit(
             t=_tiles_to_image(t, h, w),
             tri=_tiles_to_image(tri, h, w),
@@ -607,6 +870,6 @@ def cast_rays_pallas(scene: SceneArrays, origin, directions, interpret=None):
         for a, c in [(flat_o, 0), (flat_o, 1), (flat_o, 2),
                      (flat_d, 0), (flat_d, 1), (flat_d, 2)]
     )
-    t, tri, inst = _run_kernel(scene, tiled, interpret)
+    t, tri, inst = _run_kernel(scene, tiled, interpret, frustum, bf16_box)
     unpack = lambda a: a.reshape(-1)[:r].reshape(shape)
     return Hit(t=unpack(t), tri=unpack(tri), inst=unpack(inst))
