@@ -1,0 +1,558 @@
+"""HBM-paged Pallas packet traversal for beyond-VMEM scenes.
+
+The main packet kernel (kernels/traversal.py) keeps the whole packed
+scene resident in VMEM and degrades to the slow XLA gather walk past
+~80MB of tables. This variant matches the reference's everything-
+resident behavior (Scene.cpp:41-64) at TPU scale: the full packed
+tables live in HBM; a small compacted TOP TREE (accel/paging.py) is
+VMEM-resident; when the packet traversal reaches a "portal leaf" of the
+top tree it DMAs that page's three contiguous row slices (control
+words, node records, triangle records) HBM->VMEM and traverses the
+subtree in place. DFS-preorder subtree contiguity means a page is a
+plain row window of the global tables — in-page fetches just subtract
+the page's base row; child and triangle ids stay GLOBAL.
+
+Per-packet cost model: coherent primary packets touch few pages (the
+cut is ~2048 triangles, so an 82k-tri mesh is ~40 pages but a packet's
+frustum crosses a handful); each page entry costs one ~200KB DMA
+(~0.25us of HBM bandwidth on v5e) amortized over the whole subtree
+traversal. Traversal order and t-pruning semantics are identical to the
+main kernel (ordered near-first descent per pop, per-ray t caps), so
+hit results match the brute-force oracle exactly; only iteration
+granularity differs (single pop per sync — the top loop is a tiny
+fraction of total pops, and in-page pops use the same packed-word sync
+as the main kernel's POP_K=1 case).
+
+Scene-size limit: leaf control words pack global triangle start * 1024
++ count (LEAF_BITS), capping paged scenes at 2^21 = 2M triangles; the
+builder raises beyond that.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..accel.paging import PAGE_NODES, PAGE_TRIS, PageTable, build_page_table
+from ..scene.scene import SceneArrays
+from .traversal import (
+    BIG,
+    EDGE_EPS,
+    LEAF_BITS,
+    LEAF_SHIFT,
+    LEAF_UNROLL,
+    MAX_LEAF_TRIS,
+    NUDGE,
+    PARALLEL_EPS,
+    PIX_H,
+    PIX_W,
+    REC_LANES,
+    REC_PER_ROW,
+    STACK_SIZE,
+    TILE,
+    TILE_L,
+    TILE_S,
+    _FLT_MAX,
+    _image_to_tiles,
+    _pack128,
+    _pack_records,
+    _quat_rot,
+    _scene_kernel_inputs,
+    _stats_enabled,
+    _tiles_to_image,
+    T,
+)
+
+# Page buffer capacities in 128-lane rows (+1 row: a page's node/tri
+# range need not start row-aligned, so it can span one extra row).
+CODE_ROWS = PAGE_NODES // TILE_L + 1
+NODE_ROWS = PAGE_NODES // REC_PER_ROW + 1
+TRI_ROWS = PAGE_TRIS // REC_PER_ROW + 1
+
+# SMEM layout: top stack | page stack | code word | push word
+_PSTACK = STACK_SIZE
+_S_CODE = 2 * STACK_SIZE
+_S_PUSH = 2 * STACK_SIZE + 1
+_SMEM_SLOTS = 2 * STACK_SIZE + 2
+
+
+def _paged_kernel(num_instances: int, with_stats: bool, *refs):
+    (
+        inst_tab_ref,  # SMEM [I, 12] f32 quat/pos/inv_scale
+        inst_root_ref,  # SMEM [I] i32 TOP-TREE rank of the instance root
+        page_tab_ref,  # SMEM [P, 2] i32 (node0, tri0) per page
+        ox_ref, oy_ref, oz_ref,
+        dx_ref, dy_ref, dz_ref,  # VMEM [1, TILE_S, 128] f32 ray tiles
+        tcode_ref,  # VMEM [ceil(Nt/128), 128] i32 top control words
+        tnodef_ref,  # VMEM [ceil(Nt/8), 128] f32 top 16-lane records
+        gcode_ref,  # ANY  [*, 128] i32 global control words (HBM)
+        gnodef_ref,  # ANY  [*, 128] f32 global node records (HBM)
+        gtrif_ref,  # ANY  [*, 128] f32 global triangle records (HBM)
+    ) = refs[:14]
+    if with_stats:
+        (t_out_ref, tri_out_ref, inst_out_ref, pops_ref, tests_ref,
+         smem_ref, pcode_ref, pnodef_ref, ptrif_ref, sem_ref) = refs[14:]
+    else:
+        (t_out_ref, tri_out_ref, inst_out_ref,
+         smem_ref, pcode_ref, pnodef_ref, ptrif_ref, sem_ref) = refs[14:]
+
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_L), 1)
+    lane16 = jax.lax.broadcasted_iota(jnp.int32, (REC_LANES, TILE_L), 1)
+    sub16 = jax.lax.broadcasted_iota(jnp.int32, (REC_LANES, TILE_L), 0)
+
+    def fetch_record(ref, k, row0):
+        """One 16-field record as [16, 128] broadcast rows; ``row0`` is
+        the ref's base row (0 for whole-table refs, the page's base for
+        page buffers — k keeps its GLOBAL meaning either way)."""
+        row = ref[pl.ds(k // REC_PER_ROW - row0, 1), :]
+        rep = jnp.broadcast_to(row, (REC_LANES, TILE_L))
+        mask = lane16 == (k % REC_PER_ROW) * REC_LANES + sub16
+        vals = jnp.sum(jnp.where(mask, rep, 0.0), axis=1, keepdims=True)
+        return vals + jnp.zeros((REC_LANES, TILE_L), jnp.float32)
+
+    def fetch_code(ref, node, row0):
+        crow = ref[pl.ds(node // TILE_L - row0, 1), :]
+        return jnp.sum(jnp.where(lane1 == node % TILE_L, crow, 0))
+
+    rays = tuple(r[0] for r in (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref))
+    best = (
+        jnp.full((TILE_S, TILE_L), BIG, jnp.float32),
+        jnp.full((TILE_S, TILE_L), -1, jnp.int32),
+        jnp.full((TILE_S, TILE_L), -1, jnp.int32),
+    )
+    n_pops = jnp.int32(0)
+    n_tests = jnp.int32(0)
+
+    for i in range(num_instances):
+        qw = inst_tab_ref[i, 0]
+        qx = inst_tab_ref[i, 1]
+        qy = inst_tab_ref[i, 2]
+        qz = inst_tab_ref[i, 3]
+        px = inst_tab_ref[i, 4]
+        py = inst_tab_ref[i, 5]
+        pz = inst_tab_ref[i, 6]
+        sx = inst_tab_ref[i, 7]
+        sy = inst_tab_ref[i, 8]
+        sz = inst_tab_ref[i, 9]
+
+        wox, woy, woz, wdx, wdy, wdz = rays
+        odx, ody, odz = _quat_rot(qw, qx, qy, qz, wdx, wdy, wdz)
+        odx, ody, odz = odx * sx, ody * sy, odz * sz
+        oox, ooy, ooz = _quat_rot(qw, qx, qy, qz, wox - px, woy - py, woz - pz)
+        oox, ooy, ooz = oox * sx, ooy * sy, ooz * sz
+
+        def _inv(v):
+            tiny = 1e-30
+            safe = jnp.where(jnp.abs(v) < tiny,
+                             jnp.where(v < 0, -tiny, tiny), v)
+            return 1.0 / safe
+
+        idx_, idy_, idz_ = _inv(odx), _inv(ody), _inv(odz)
+
+        def packet_entry(rec, base, t_cap):
+            """Packet slab test — identical to the main kernel's."""
+            bminx = rec[base + 0 : base + 1, :]
+            bminy = rec[base + 1 : base + 2, :]
+            bminz = rec[base + 2 : base + 3, :]
+            bmaxx = rec[base + 3 : base + 4, :]
+            bmaxy = rec[base + 4 : base + 5, :]
+            bmaxz = rec[base + 5 : base + 6, :]
+            t1x = (bminx - oox) * idx_
+            t2x = (bmaxx - oox) * idx_
+            t1y = (bminy - ooy) * idy_
+            t2y = (bmaxy - ooy) * idy_
+            t1z = (bminz - ooz) * idz_
+            t2z = (bmaxz - ooz) * idz_
+            near = jnp.maximum(
+                jnp.maximum(jnp.fmin(t1x, t2x), jnp.fmin(t1y, t2y)),
+                jnp.fmin(t1z, t2z),
+            )
+            far = jnp.minimum(
+                jnp.minimum(jnp.fmax(t1x, t2x), jnp.fmax(t1y, t2y)),
+                jnp.fmax(t1z, t2z),
+            )
+            hit = (far >= near) & (far > 0.0) & (near < t_cap)
+            return jnp.min(jnp.where(hit, near, BIG))
+
+        def test_tri(k, live, t_b, tri_b, in_b, trow0):
+            """Identical math to the main kernel's test_tri; triangle
+            record fetched from the current page buffer."""
+            rec = fetch_record(ptrif_ref, k, trow0)
+            ax = rec[0:1, :]
+            ay = rec[1:2, :]
+            az = rec[2:3, :]
+            nx = rec[3:4, :]
+            ny = rec[4:5, :]
+            nz = rec[5:6, :]
+            e0x = rec[6:7, :]
+            e0y = rec[7:8, :]
+            e0z = rec[8:9, :]
+            e1x = rec[9:10, :]
+            e1y = rec[10:11, :]
+            e1z = rec[11:12, :]
+            dot00 = rec[12:13, :]
+            dot01 = rec[13:14, :]
+            dot11 = rec[14:15, :]
+            inv_den = rec[15:16, :]
+            denom = odx * nx + ody * ny + odz * nz
+            safe = jnp.where(jnp.abs(denom) < PARALLEL_EPS, 1.0, denom)
+            t = ((ax - oox) * nx + (ay - ooy) * ny + (az - ooz) * nz) / safe
+            pxl = oox + t * odx
+            pyl = ooy + t * ody
+            pzl = ooz + t * odz
+            e2x, e2y, e2z = pxl - ax, pyl - ay, pzl - az
+            dot02 = e0x * e2x + e0y * e2y + e0z * e2z
+            dot12 = e1x * e2x + e1y * e2y + e1z * e2z
+            u = (dot11 * dot02 - dot01 * dot12) * inv_den
+            v = (dot00 * dot12 - dot01 * dot02) * inv_den
+            ok = (
+                live
+                & (denom <= -PARALLEL_EPS)
+                & (t >= 0.0)
+                & (u >= -EDGE_EPS)
+                & (v >= -EDGE_EPS)
+                & (u + v <= 1.0 + EDGE_EPS)
+                & (t < t_b)
+            )
+            return (
+                jnp.where(ok, t, t_b),
+                jnp.where(ok, k, tri_b),
+                jnp.where(ok, i, in_b),
+            )
+
+        def pop1(sp, t_b, code_ref_, nodef_ref_, crow0, nrow0, stack_base):
+            """Single-node pop with the packed-word SMEM sync."""
+            node = smem_ref[stack_base + sp - 1]
+            smem_ref[_S_CODE] = fetch_code(code_ref_, node, crow0)
+            rec = fetch_record(nodef_ref_, node, nrow0)
+            da = packet_entry(rec, 0, t_b)
+            db = packet_entry(rec, 6, t_b)
+            smem_ref[_S_PUSH] = (
+                (da <= db).astype(jnp.int32)
+                + 2 * (da < BIG).astype(jnp.int32)
+                + 4 * (db < BIG).astype(jnp.int32)
+            )
+            code = smem_ref[_S_CODE]
+            is_int = (code >= 0).astype(jnp.int32)
+            ca = node + 1
+            cb = jnp.maximum(code, 0)
+            w_ = smem_ref[_S_PUSH] * is_int
+            a_first = 1 - (w_ & 1)
+            pa = (w_ >> 1) & 1
+            pb = (w_ >> 2) & 1
+            first = jnp.where(a_first == 1, ca, cb)
+            p_first = jnp.where(a_first == 1, pa, pb)
+            second = jnp.where(a_first == 1, cb, ca)
+            p_second = jnp.where(a_first == 1, pb, pa)
+            # ordered push: farther child first, nearer on top
+            # (raycast.cu:72-79; same word decode as the main kernel)
+            sp_out = sp - 1
+            smem_ref[stack_base + sp_out] = first
+            sp_out = sp_out + p_first
+            smem_ref[stack_base + sp_out] = second
+            sp_out = sp_out + p_second
+            return sp_out, code
+
+        def leaf_loop(start, count, st, trow0):
+            def quad_body(q, acc):
+                t_b, tri_b, in_b = acc
+                k0 = start + q * LEAF_UNROLL
+                for u_ in range(LEAF_UNROLL):
+                    k = k0 + u_
+                    t_b, tri_b, in_b = test_tri(
+                        k, k < start + count, t_b, tri_b, in_b, trow0
+                    )
+                return t_b, tri_b, in_b
+
+            n_quads = (count + LEAF_UNROLL - 1) // LEAF_UNROLL
+            return jax.lax.fori_loop(0, n_quads, quad_body, st)
+
+        def run_page(pid, carry):
+            """DMA page ``pid`` into the VMEM buffers and traverse its
+            subtree (global node ids throughout)."""
+            node0 = page_tab_ref[pid, 0]
+            tri0 = page_tab_ref[pid, 1]
+            crow0 = node0 // TILE_L
+            nrow0 = node0 // REC_PER_ROW
+            trow0 = tri0 // REC_PER_ROW
+            cdma = pltpu.make_async_copy(
+                gcode_ref.at[pl.ds(crow0, CODE_ROWS), :], pcode_ref,
+                sem_ref.at[0],
+            )
+            ndma = pltpu.make_async_copy(
+                gnodef_ref.at[pl.ds(nrow0, NODE_ROWS), :], pnodef_ref,
+                sem_ref.at[1],
+            )
+            tdma = pltpu.make_async_copy(
+                gtrif_ref.at[pl.ds(trow0, TRI_ROWS), :], ptrif_ref,
+                sem_ref.at[2],
+            )
+            cdma.start()
+            ndma.start()
+            tdma.start()
+            cdma.wait()
+            ndma.wait()
+            tdma.wait()
+
+            smem_ref[_PSTACK] = node0
+
+            def page_body(c):
+                spp, state, np_, nt_ = c
+                spp, code = pop1(
+                    spp, state[0], pcode_ref, pnodef_ref, crow0, nrow0,
+                    _PSTACK,
+                )
+                packed = -code - 1
+                start = packed >> LEAF_BITS
+                count = (packed & MAX_LEAF_TRIS) * (code < 0).astype(jnp.int32)
+                state = leaf_loop(start, count, state, trow0)
+                return spp, state, np_ + 1, nt_ + count
+
+            state, np_, nt_ = carry
+            c = (jnp.int32(1), state, np_, nt_)
+            c = jax.lax.while_loop(lambda c: c[0] > 0, page_body, c)
+            return c[1], c[2], c[3]
+
+        def top_body(c):
+            sp, state, np_, nt_ = c
+            sp, code = pop1(sp, state[0], tcode_ref, tnodef_ref, 0, 0, 0)
+            pid = -code - 1
+            state, np_, nt_ = jax.lax.cond(
+                code < 0,
+                run_page,
+                lambda _pid, carry: carry,
+                pid,
+                (state, np_ + 1, nt_),
+            )
+            return sp, state, np_, nt_
+
+        root = inst_root_ref[i]
+        smem_ref[0] = root
+        carry = (jnp.int32(1), best, n_pops, n_tests)
+        carry = jax.lax.while_loop(lambda c: c[0] > 0, top_body, carry)
+        _, best, n_pops, n_tests = carry
+
+    t_b, tri_b, in_b = best
+    t_out_ref[0] = jnp.where(t_b >= BIG, _FLT_MAX, t_b)
+    tri_out_ref[0] = tri_b
+    inst_out_ref[0] = in_b
+    if with_stats:
+        zeros = jnp.zeros((TILE_S, TILE_L), jnp.int32)
+        pops_ref[0] = zeros + n_pops
+        tests_ref[0] = zeros + n_tests
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PagedTables:
+    """Device-side inputs of the paged kernel (a jit-traversable pytree;
+    pass through the jit boundary alongside the SceneArrays — the page
+    partition is value-dependent host work, so it cannot be derived
+    inside a traced function)."""
+
+    top_root: jax.Array  # [M] i32 top-tree rank per mesh root
+    page_tab: jax.Array  # [P, 2] i32 (node0, tri0)
+    top_code: jax.Array  # [ceil(Nt/128), 128] i32
+    top_nodef: jax.Array  # [ceil(Nt/8), 128] f32
+    gcode: jax.Array  # [*, 128] i32 global control words (HBM-resident)
+    gnodef: jax.Array  # [*, 128] f32 global node records
+    gtrif: jax.Array  # [*, 128] f32 global triangle records
+
+    @property
+    def num_pages(self) -> int:
+        return self.page_tab.shape[0]
+
+
+def _pad_rows(a: jax.Array, rows: int, fill) -> jax.Array:
+    """Append ``rows`` fill rows so fixed-size page DMAs starting at the
+    last valid base row stay in bounds."""
+    return jnp.concatenate(
+        [a, jnp.full((rows, a.shape[1]), fill, a.dtype)], axis=0
+    )
+
+
+_PAGE_CACHE: dict = {}
+
+
+def prepare_paged(scene: SceneArrays, page_tris: int = PAGE_TRIS,
+                  page_nodes: int = PAGE_NODES) -> PagedTables:
+    """Build (and cache) the page partition + packed tables for a
+    compiled scene. EAGER host work — call outside jit; the result is a
+    pytree to pass into the jitted paged render path.
+
+    ``page_tris``/``page_nodes`` may be lowered (never raised — the
+    kernel's buffer capacities are compile-time constants sized for the
+    defaults) to force many small pages, e.g. in tests."""
+    if page_tris > PAGE_TRIS or page_nodes > PAGE_NODES:
+        raise ValueError("page cut sizes cannot exceed the buffer capacity")
+    key = (id(scene.node_child_a), page_tris, page_nodes)
+    hit = _PAGE_CACHE.get(key)
+    if hit is not None and hit[0] is scene.node_child_a:
+        return hit[1]
+
+    if scene.num_triangles * LEAF_SHIFT >= 2 ** 31:
+        raise ValueError(
+            "paged traversal caps at 2^21 triangles (10-bit leaf words)"
+        )
+    pt = build_page_table(
+        np.asarray(scene.node_min),
+        np.asarray(scene.node_max),
+        np.asarray(scene.node_child_a),
+        np.asarray(scene.node_child_b),
+        np.asarray(scene.node_leaf_start),
+        np.asarray(scene.node_leaf_count),
+        np.asarray(scene.mesh_root),
+        page_tris=page_tris,
+        page_nodes=page_nodes,
+    )
+
+    (_, _), (code_arr, nodef), (trif,) = _scene_kernel_inputs(scene)
+
+    fields = []
+    for c in range(2):
+        # watertight NUDGE baked, matching _scene_kernel_inputs
+        mn = pt.top_child_min[:, c] - NUDGE
+        mx = pt.top_child_max[:, c] + NUDGE
+        fields += [mn[:, 0], mn[:, 1], mn[:, 2], mx[:, 0], mx[:, 1], mx[:, 2]]
+    top_nodef = _pack_records(
+        [jnp.asarray(f) for f in fields], pt.num_top_nodes
+    )
+
+    tables = PagedTables(
+        top_root=jnp.asarray(pt.top_root),
+        page_tab=jnp.asarray(
+            np.stack([pt.page_node0, pt.page_tri0], axis=1).astype(np.int32)
+        ),
+        top_code=_pack128(jnp.asarray(pt.top_code), -1),
+        top_nodef=top_nodef,
+        gcode=_pad_rows(code_arr, CODE_ROWS, -1),
+        gnodef=_pad_rows(nodef, NODE_ROWS, 0.0),
+        gtrif=_pad_rows(trif, TRI_ROWS, 0.0),
+    )
+    _PAGE_CACHE[key] = (scene.node_child_a, tables)
+    return tables
+
+
+def _run_paged(scene: SceneArrays, tables: PagedTables, tiled, interpret):
+    ox, oy, oz, dx, dy, dz = tiled
+    n_tiles = ox.shape[0]
+    quat = T.euler2quat(scene.inst_pose[:, 3:6])
+    pad = jnp.zeros((scene.num_instances, 2), jnp.float32)
+    inst_tab = jnp.concatenate(
+        [quat, scene.inst_pose[:, 0:3], scene.inst_inv_scale, pad], axis=1
+    )
+    inst_root = tables.top_root[scene.inst_mesh]
+    with_stats = _stats_enabled()
+
+    ray_spec = pl.BlockSpec(
+        (1, TILE_S, TILE_L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    vmem_whole = lambda a: pl.BlockSpec(
+        a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.VMEM
+    )
+    smem_whole = lambda a: pl.BlockSpec(
+        a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.SMEM
+    )
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+
+    inputs = (
+        inst_tab, inst_root, tables.page_tab,
+        ox, oy, oz, dx, dy, dz,
+        tables.top_code, tables.top_nodef,
+        tables.gcode, tables.gnodef, tables.gtrif,
+    )
+    in_specs = (
+        [smem_whole(inst_tab), smem_whole(inst_root),
+         smem_whole(tables.page_tab)]
+        + [ray_spec] * 6
+        + [vmem_whole(tables.top_code), vmem_whole(tables.top_nodef)]
+        + [any_spec] * 3
+    )
+    f32s = jax.ShapeDtypeStruct((n_tiles, TILE_S, TILE_L), jnp.float32)
+    i32s = jax.ShapeDtypeStruct((n_tiles, TILE_S, TILE_L), jnp.int32)
+    out_shape = (f32s, i32s, i32s) + ((i32s, i32s) if with_stats else ())
+    kernel = functools.partial(
+        _paged_kernel, scene.num_instances, with_stats
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=(ray_spec,) * len(out_shape),
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.SMEM((_SMEM_SLOTS,), jnp.int32),
+            pltpu.VMEM((CODE_ROWS, TILE_L), jnp.int32),
+            pltpu.VMEM((NODE_ROWS, TILE_L), jnp.float32),
+            pltpu.VMEM((TRI_ROWS, TILE_L), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*inputs)
+    if with_stats:
+        t, tri, inst, pops, tests = outs
+        _PAGED_STATS["pops"] = pops[:, 0, 0]
+        _PAGED_STATS["tests"] = tests[:, 0, 0]
+    else:
+        t, tri, inst = outs
+    return t, tri, inst
+
+
+_PAGED_STATS: dict = {}
+
+
+def cast_rays_paged(scene: SceneArrays, tables: PagedTables, origin,
+                    directions, interpret=None):
+    """Nearest-hit query with the HBM-paged packet kernel. Same Hit
+    record and ray-layout handling as cast_rays_pallas."""
+    from ..render.renderer import Hit  # local: avoids cycle
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    directions = jnp.asarray(directions, jnp.float32)
+    origin = jnp.broadcast_to(jnp.asarray(origin, jnp.float32), directions.shape)
+    shape = directions.shape[:-1]
+
+    use_2d = (
+        len(shape) == 2
+        and shape[0] % PIX_H == 0
+        and shape[1] % PIX_W == 0
+    )
+    if use_2d:
+        h, w = shape
+        tiled = tuple(
+            _image_to_tiles(a[..., c]) for a, c in
+            [(origin, 0), (origin, 1), (origin, 2),
+             (directions, 0), (directions, 1), (directions, 2)]
+        )
+        t, tri, inst = _run_paged(scene, tables, tiled, interpret)
+        return Hit(
+            t=_tiles_to_image(t, h, w),
+            tri=_tiles_to_image(tri, h, w),
+            inst=_tiles_to_image(inst, h, w),
+        )
+
+    flat_o = origin.reshape(-1, 3)
+    flat_d = directions.reshape(-1, 3)
+    r = flat_o.shape[0]
+    pad = (-r) % TILE
+    if pad:
+        flat_o = jnp.concatenate([flat_o, jnp.broadcast_to(flat_o[-1:], (pad, 3))])
+        flat_d = jnp.concatenate([flat_d, jnp.broadcast_to(flat_d[-1:], (pad, 3))])
+    tiled = tuple(
+        a[:, c].reshape(-1, TILE_S, TILE_L)
+        for a, c in [(flat_o, 0), (flat_o, 1), (flat_o, 2),
+                     (flat_d, 0), (flat_d, 1), (flat_d, 2)]
+    )
+    t, tri, inst = _run_paged(scene, tables, tiled, interpret)
+    unpack = lambda a: a.reshape(-1)[:r].reshape(shape)
+    return Hit(t=unpack(t), tri=unpack(tri), inst=unpack(inst))

@@ -55,6 +55,51 @@ def render_image(
     )
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
+def _render_image_paged_jit(
+    config: RenderConfig,
+    scene: SceneArrays,
+    tables,
+    K_inv: jax.Array,
+    D: jax.Array,
+    pose: jax.Array,
+    inv_pose: jax.Array,
+) -> jax.Array:
+    from ..kernels.paged import cast_rays_paged
+
+    origin, directions = generate_rays(
+        config.width, config.height, K_inv, D, pose, inv_pose,
+        exact=config.exact_math,
+    )
+    hit = cast_rays_paged(scene, tables, origin, directions)
+    attrs = hit_attributes(scene, origin, directions, hit, exact=config.exact_math)
+    return shade_primary(
+        scene, attrs, config.light_direction, config.lighting,
+        exact=config.exact_math, backend="pallas",
+    )
+
+
+def render_image_paged(
+    config: RenderConfig,
+    scene: SceneArrays,
+    K_inv: jax.Array,
+    D: jax.Array,
+    pose: jax.Array,
+    inv_pose: jax.Array,
+) -> jax.Array:
+    """Primary render via the HBM-paged packet kernel (beyond-VMEM
+    scenes; kernels/paged.py). The page partition is value-dependent
+    host work, so this wrapper prepares (and caches) it EAGERLY and
+    passes the resulting pytree through the jit boundary — call with
+    concrete scene arrays, not from inside another jit."""
+    from ..kernels.paged import prepare_paged
+
+    tables = prepare_paged(scene)
+    return _render_image_paged_jit(
+        config, scene, tables, K_inv, D, pose, inv_pose
+    )
+
+
 def render(camera: Camera, scene: SceneArrays, config: RenderConfig | None = None, **kw) -> jax.Array:
     """Convenience: render with a host Camera (computes inv_pose on the
     host per call, Camera.cu:21)."""
