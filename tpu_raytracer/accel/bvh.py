@@ -13,9 +13,11 @@ output format:
   * Axis selection uses the reference's exact if/elif/else chain
     (BVHTree.hpp:229-243) including its tie behavior.
   * Split accepted only if best_cost < cost(node) (BVHTree.hpp:246-247);
-    recursion stops at depth >= max_depth (default 32, matching the
-    call site MeshPrimitive.cpp:54), at <=1 triangle, or on a one-sided
-    partition (BVHTree.hpp:279-280).
+    recursion stops at depth >= max_depth (default 48; the reference
+    call site uses 32, MeshPrimitive.cpp:54, but deep grid scenes like
+    the 627k-tri colonnade need ~33-40 — the kernel stack is sized to
+    match), at <=1 triangle, or on a one-sided partition
+    (BVHTree.hpp:279-280).
   * Children are appended depth-first (left subtree first), so node 0 is
     always the root (BVHTree.hpp:283-289).
 
@@ -101,7 +103,7 @@ def build_bvh(
     v0: np.ndarray,
     v1: np.ndarray,
     v2: np.ndarray,
-    max_depth: int = 32,
+    max_depth: int = 48,
     tests_per_axis: int = 5,
     min_leaf_size: int = 1,
 ) -> BVHArrays:

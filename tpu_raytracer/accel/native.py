@@ -58,7 +58,7 @@ def build_bvh_native(
     v0: np.ndarray,
     v1: np.ndarray,
     v2: np.ndarray,
-    max_depth: int = 32,
+    max_depth: int = 48,
     tests_per_axis: int = 5,
     min_leaf_size: int = 1,
 ) -> BVHArrays:

@@ -44,6 +44,7 @@ from ..scene.scene import SceneArrays
 from .traversal import (
     BIG,
     EDGE_EPS,
+    FMA_BOX,
     LEAF_BITS,
     LEAF_SHIFT,
     LEAF_UNROLL,
@@ -154,21 +155,33 @@ def _paged_kernel(num_instances: int, with_stats: bool, *refs):
             return 1.0 / safe
 
         idx_, idy_, idz_ = _inv(odx), _inv(ody), _inv(odz)
+        if FMA_BOX:
+            oix, oiy, oiz = oox * idx_, ooy * idy_, ooz * idz_
 
         def packet_entry(rec, base, t_cap):
-            """Packet slab test — identical to the main kernel's."""
+            """Packet slab test — identical to the main kernel's
+            (including the FMA_BOX form, so paged results stay
+            bit-identical to the resident kernel)."""
             bminx = rec[base + 0 : base + 1, :]
             bminy = rec[base + 1 : base + 2, :]
             bminz = rec[base + 2 : base + 3, :]
             bmaxx = rec[base + 3 : base + 4, :]
             bmaxy = rec[base + 4 : base + 5, :]
             bmaxz = rec[base + 5 : base + 6, :]
-            t1x = (bminx - oox) * idx_
-            t2x = (bmaxx - oox) * idx_
-            t1y = (bminy - ooy) * idy_
-            t2y = (bmaxy - ooy) * idy_
-            t1z = (bminz - ooz) * idz_
-            t2z = (bmaxz - ooz) * idz_
+            if FMA_BOX:
+                t1x = bminx * idx_ - oix
+                t2x = bmaxx * idx_ - oix
+                t1y = bminy * idy_ - oiy
+                t2y = bmaxy * idy_ - oiy
+                t1z = bminz * idz_ - oiz
+                t2z = bmaxz * idz_ - oiz
+            else:
+                t1x = (bminx - oox) * idx_
+                t2x = (bmaxx - oox) * idx_
+                t1y = (bminy - ooy) * idy_
+                t2y = (bmaxy - ooy) * idy_
+                t1z = (bminz - ooz) * idz_
+                t2z = (bmaxz - ooz) * idz_
             near = jnp.maximum(
                 jnp.maximum(jnp.fmin(t1x, t2x), jnp.fmin(t1y, t2y)),
                 jnp.fmin(t1z, t2z),

@@ -88,7 +88,8 @@ assert TILE_S % 8 == 0, "packet sublanes must be 8-aligned"
 # 32x32 (1024 rays) 74 Mrays/s, 64x64 (4096) 111.6, 64x128 (8192) 103.5
 # -> bigger packets amortize the latency-bound pop loop until union
 # growth wins; 64x64 is the sweet spot.
-STACK_SIZE = 48  # max BVH depth 32 (MeshPrimitive.cpp:54) + slack
+STACK_SIZE = 64  # max BVH depth 48 (reference caps 32, MeshPrimitive.cpp:54;
+# deep grid scenes like the 627k-tri colonnade need ~33-40) + slack
 REC_LANES = 16  # lanes per record slot
 REC_PER_ROW = TILE_L // REC_LANES
 # Python floats so they inline as literals (jnp scalars would be
@@ -110,6 +111,11 @@ MAX_LEAF_TRIS = LEAF_SHIFT - 1
 # K=6 116.8 Mrays/s — the scalar stall is mostly amortized by K=2-3 and
 # larger K degrades descent order (more visits) for no sync savings.
 POP_K = int(os.environ.get("TRT_POP_K", "3"))
+
+# Slab-test form: b*inv - (o*inv with o*inv hoisted per instance) = one
+# fusable multiply-subtract per plane vs sub-then-mul (v14). See the
+# rounding note at the use site; oracle-gated. TRT_FMA_BOX=0 reverts.
+FMA_BOX = os.environ.get("TRT_FMA_BOX", "1") != "0"
 
 # SMEM scratch slot map (after the stack)
 _S_CODE = STACK_SIZE  # +POP_K
@@ -205,6 +211,10 @@ def _traversal_kernel(
             return 1.0 / safe
 
         idx_, idy_, idz_ = _inv(odx), _inv(ody), _inv(odz)
+
+        fma_box = FMA_BOX and not (bf16_box or frustum)
+        if fma_box:
+            oix, oiy, oiz = oox * idx_, ooy * idy_, ooz * idz_
 
         if bf16_box and not frustum:
             # bf16 slab tests (v12): same per-ray test + per-ray
@@ -340,12 +350,29 @@ def _traversal_kernel(
             bmaxx = rec[base + 3 : base + 4, :]
             bmaxy = rec[base + 4 : base + 5, :]
             bmaxz = rec[base + 5 : base + 6, :]
-            t1x = (bminx - oox) * idx_
-            t2x = (bmaxx - oox) * idx_
-            t1y = (bminy - ooy) * idy_
-            t2y = (bmaxy - ooy) * idy_
-            t1z = (bminz - ooz) * idz_
-            t2z = (bmaxz - ooz) * idz_
+            if fma_box:
+                # b*inv - (o*inv) with o*inv hoisted per instance: each
+                # plane is ONE fusable multiply-subtract instead of
+                # sub-then-mul (v14). Rounding differs from the exact
+                # (b-o)*inv by ~2^-24*(|b|+|o|)*|inv|, within the
+                # compile-time relative box pad except under extreme
+                # origin/box magnitude mismatch; oracles (colonnade
+                # 768-ray, bunny, cube/sphere) gate it. Exact-on-plane
+                # rays stay exact: b == o gives fl(b*inv) - fl(o*inv)
+                # == 0 identically.
+                t1x = bminx * idx_ - oix
+                t2x = bmaxx * idx_ - oix
+                t1y = bminy * idy_ - oiy
+                t2y = bmaxy * idy_ - oiy
+                t1z = bminz * idz_ - oiz
+                t2z = bmaxz * idz_ - oiz
+            else:
+                t1x = (bminx - oox) * idx_
+                t2x = (bmaxx - oox) * idx_
+                t1y = (bminy - ooy) * idy_
+                t2y = (bmaxy - ooy) * idy_
+                t1z = (bminz - ooz) * idz_
+                t2z = (bmaxz - ooz) * idz_
             # fmin/fmax suppress the 0*inf NaN (origin exactly on a
             # box plane) like the reference's CUDA fminf/fmaxf.
             near = jnp.maximum(

@@ -45,6 +45,11 @@ def _reflect(d, n):
     return d - 2.0 * dot(d, n)[..., None] * n
 
 
+# park_dead_rays lives in sorted_cast (shared with shade.py's shadow
+# path without an import cycle)
+from .sorted_cast import park_dead_rays as _park
+
+
 def _direct_illumination(
     scene, cast, attrs, light_direction, point_lights, exact, shadows
 ):
@@ -57,8 +62,11 @@ def _direct_illumination(
         if shadows:
             occ = cast(
                 scene,
-                attrs.location + ldir * SHADOW_EPS,
-                jnp.broadcast_to(ldir, attrs.location.shape),
+                *_park(
+                    attrs.location + ldir * SHADOW_EPS,
+                    jnp.broadcast_to(ldir, attrs.location.shape),
+                    attrs.hit,  # no shadow ray where the primary missed
+                ),
             )
             lit = occ.t >= FLT_MAX
             cos_i = jnp.where(lit, cos_i, 0.4 * cos_i)
@@ -71,7 +79,9 @@ def _direct_illumination(
         cos_i = jnp.maximum(dot(attrs.normal, ldir), 0.0)
         falloff = light.intensity / jnp.maximum(dist * dist, 1e-8)
         if shadows:
-            occ = cast(scene, attrs.location + ldir * SHADOW_EPS, ldir)
+            occ = cast(scene, *_park(
+                attrs.location + ldir * SHADOW_EPS, ldir, attrs.hit
+            ))
             # occluded only if a hit lies between the point and the light
             lit = occ.t >= dist
             cos_i = jnp.where(lit, cos_i, 0.0)
@@ -89,7 +99,7 @@ def render_whitted(
     point_lights: tuple = (),
     shadows: bool = True,
     exact: bool = True,
-    sort_secondary: bool = True,
+    sort_secondary: bool = False,
 ) -> jax.Array:
     """Whitted-style recursive reflections, iteratively unrolled.
 
@@ -135,6 +145,7 @@ def render_whitted(
         active = live & (refl > 0.0)
         d = normalize(_reflect(d, attrs.normal), exact=exact)
         o = attrs.location + d * SHADOW_EPS
+        o, d = _park(o, d, active)
     return radiance
 
 
@@ -170,7 +181,7 @@ def render_path_traced(
     backend: str = "bvh",
     sky_strength: float = 1.0,
     exact: bool = True,
-    sort_secondary: bool = True,
+    sort_secondary: bool = False,
 ) -> jax.Array:
     """Monte-Carlo path tracing (the stochastic bounce design the
     reference's curand setup anticipated, raycast.cu:190-193).
@@ -205,13 +216,12 @@ def render_path_traced(
             throughput = throughput * jnp.where(live[..., None], color, 1.0)
             d_new = _cosine_sample(key_b, attrs.normal, exact)
             o_new = attrs.location + d_new * SHADOW_EPS
-            return (
+            o_next, d_next = _park(
                 jnp.where(live[..., None], o_new, o),
                 jnp.where(live[..., None], d_new, d),
-                throughput,
-                radiance,
                 live,
-            ), None
+            )
+            return (o_next, d_next, throughput, radiance, live), None
 
         state = (
             origin,

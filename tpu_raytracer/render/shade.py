@@ -83,11 +83,17 @@ def compute_illumination(
         cos_illum = dot(attrs.normal, light_dir)
         illum = jnp.maximum(cos_illum, 0.0)
         if mode == "lambert_shadow":
-            from .sorted_cast import secondary_cast_fn
+            from .sorted_cast import park_dead_rays, secondary_cast_fn
 
             cast = secondary_cast_fn(get_cast_fn(backend), backend)
             shadow_origin = attrs.location + light_dir * SHADOW_EPS
-            occ = cast(scene, shadow_origin, jnp.broadcast_to(light_dir, attrs.location.shape))
+            # no shadow ray where the primary missed: parked lanes fail
+            # the root box test so sky-dominated tiles cast for free
+            occ = cast(scene, *park_dead_rays(
+                shadow_origin,
+                jnp.broadcast_to(light_dir, attrs.location.shape),
+                attrs.hit,
+            ))
             lit = occ.t >= FLT_MAX
             # Shadowed points keep the 0.4*cos ambient floor the
             # reference sketched (raycast.cu:263-266, 278).

@@ -66,13 +66,21 @@ def ray_sort_keys(origin: jax.Array, directions: jax.Array) -> jax.Array:
     return ((m >> 15) << 18) | (octant << 15) | (m & 0x7FFF)
 
 
-def secondary_cast_fn(cast, backend: str, sort_secondary: bool = True):
+def secondary_cast_fn(cast, backend: str, sort_secondary: bool = False):
     """Wrap a nearest-hit backend with coherence sorting for secondary
-    (shadow/bounce) rays. Only the packet kernel benefits — the XLA
-    per-ray walk is order-independent — so other backends pass through.
-    TRT_SORT_SECONDARY=0 disables globally (perf A/B experiments)."""
-    if os.environ.get("TRT_SORT_SECONDARY", "1") == "0":
-        sort_secondary = False
+    (shadow/bounce) rays. Only the packet kernel could benefit — the
+    XLA per-ray walk is order-independent — so other backends pass
+    through.
+
+    DEFAULT OFF (round-2 TPU A/B): secondary casts keep the image
+    shape, so they already ride the kernel's 64x64 pixel-tile path with
+    coherent origins; the argsort+gather+scatter cost HALVED the
+    cornell-shadow and whitted configs (53 vs 103 fps, 12 vs 28 fps)
+    and gains nothing back. TRT_SORT_SECONDARY=1 forces it on for
+    experiments; =0 forces off."""
+    env = os.environ.get("TRT_SORT_SECONDARY")
+    if env is not None:
+        sort_secondary = env != "0"
     if sort_secondary and backend == "pallas":
         return lambda scene, o, d: cast_rays_sorted(cast, scene, o, d)
     return cast
@@ -98,3 +106,25 @@ def cast_rays_sorted(cast_fn, scene, origin, directions):
 
     unscatter = lambda a: jnp.zeros_like(a).at[order].set(a).reshape(shape)
     return Hit(t=unscatter(hit.t), tri=unscatter(hit.tri), inst=unscatter(hit.inst))
+
+
+# Terminated-lane parking spot: origin far outside every scene with a
+# direction pointing away, so the packet kernel's root box test rejects
+# the lane immediately and an ALL-terminated 4096-ray tile traverses
+# nothing. Re-casting terminated rays unchanged (the naive masked
+# wavefront) pays full traversal for dead lanes; parking makes bounce
+# cost track the LIVE ray population, which collapses tile-by-tile as
+# sky/termination regions cluster. slab: t = (box - 1e9) * 1 < 0 on
+# every axis => far < 0 => miss, no inf/NaN anywhere.
+PARK_ORIGIN = 1.0e9
+PARK_DIRECTION = (1.0, 1.0, 1.0)
+
+
+def park_dead_rays(o, d, live):
+    """Replace dead lanes' rays with the guaranteed-miss parked ray;
+    live lanes pass through unchanged."""
+    keep = live[..., None]
+    return (
+        jnp.where(keep, o, PARK_ORIGIN),
+        jnp.where(keep, d, jnp.asarray(PARK_DIRECTION, jnp.float32)),
+    )

@@ -53,7 +53,7 @@ class MeshPrimitive:
         uv0=None,
         uv1=None,
         uv2=None,
-        max_depth: int = 32,
+        max_depth: int = 48,
         exact_normals: bool = True,
         builder: str = "auto",
         min_leaf_size: int = 16,

@@ -78,7 +78,7 @@ def parse_obj(text: str):
     return v0, v1, v2, uv0, uv1, uv2, has_uv
 
 
-def load(fp: str, max_depth: int = 32, exact_normals: bool = True) -> MeshPrimitive:
+def load(fp: str, max_depth: int = 48, exact_normals: bool = True) -> MeshPrimitive:
     """Load an OBJ file into a MeshPrimitive (BVH built in the
     constructor, like OBJLoader.hpp:177 -> MeshPrimitive.cpp:5-15)."""
     with open(fp) as f:
@@ -93,7 +93,7 @@ def load(fp: str, max_depth: int = 32, exact_normals: bool = True) -> MeshPrimit
     return mesh
 
 
-def loads(text: str, max_depth: int = 32, exact_normals: bool = True) -> MeshPrimitive:
+def loads(text: str, max_depth: int = 48, exact_normals: bool = True) -> MeshPrimitive:
     """Load OBJ source from a string."""
     v0, v1, v2, uv0, uv1, uv2, _ = parse_obj(text)
     return MeshPrimitive.from_triangles(
