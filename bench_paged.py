@@ -31,11 +31,11 @@ def main():
     from tpu_raytracer.render import RenderConfig, render_image
     from tpu_raytracer.render.pipeline import render_image_paged
 
-    # 14x14 columns x 64 bands x 40 segs x 2 + floor ~= 1.00M triangles:
+    # 18x18 columns x 40 bands x 40 segs x 2 + floor ~= 1.04M triangles:
     # tri records alone are 64MB -- far past the resident kernel's VMEM
     # budget, so this scene exercises the paged path for real.
     t0 = time.perf_counter()
-    arrays, cam = scene_colonnade(512, 512, columns=14, segs=40)
+    arrays, cam = scene_colonnade(512, 512, columns=18, segs=40)
     print(json.dumps({
         "scene_tris": int(arrays.num_triangles),
         "bvh_nodes": int(arrays.node_child_a.shape[0]),

@@ -20,6 +20,7 @@
 // native path exists for Sponza-class scenes where the numpy builder's
 // per-node Python overhead dominates.
 
+#include <algorithm>
 #include <cfloat>
 #include <cmath>
 #include <cstdint>
@@ -27,6 +28,11 @@
 #include <vector>
 
 namespace {
+
+// Nodes above this size always split (see the forced-split note in
+// Builder::fill); must stay well under the packet kernel's
+// 1023-triangle leaf cap. Mirrors accel/bvh.py FORCE_SPLIT_ABOVE.
+constexpr int kForceSplitAbove = 512;
 
 struct Box {
   float mn[3] = {FLT_MAX, FLT_MAX, FLT_MAX};
@@ -139,7 +145,12 @@ struct Builder {
 
     // numpy: float(f32_area * python_int) -> f32 rounding first
     double node_cost = double(float(box.half_area() * float(n)));
-    if (best >= node_cost) {
+    // Forced split for oversized nodes (mirrors accel/bvh.py): the
+    // strict no-gain stop deadlocks on uniform thin slabs (equal
+    // half-area*count on both sides), producing leaves beyond the
+    // kernel's 10-bit count cap at Sponza scale.
+    bool oversized = n > kForceSplitAbove;
+    if (best >= node_cost && !oversized) {
       make_leaf(id, idx, n);
       return id;
     }
@@ -157,8 +168,25 @@ struct Builder {
         right.push_back(k);
     }
     if (left.empty() || right.empty()) {
-      make_leaf(id, idx, n);
-      return id;
+      if (!oversized) {
+        make_leaf(id, idx, n);
+        return id;
+      }
+      // stable median split on the longest axis (numpy: argmax of
+      // extent = first maximum; argsort kind="stable")
+      float ext[3] = {box.mx[0] - box.mn[0], box.mx[1] - box.mn[1],
+                      box.mx[2] - box.mn[2]};
+      int ax2 = 0;
+      if (ext[1] > ext[0]) ax2 = 1;
+      if (ext[2] > ext[ax2]) ax2 = 2;
+      std::vector<int32_t> med(idx, idx + n);
+      std::stable_sort(med.begin(), med.end(),
+                       [&](int32_t a, int32_t b) {
+                         return cent[3 * a + ax2] < cent[3 * b + ax2];
+                       });
+      int half = n / 2;
+      left.assign(med.begin(), med.begin() + half);
+      right.assign(med.begin() + half, med.end());
     }
     std::memcpy(idx, left.data(), left.size() * sizeof(int32_t));
     std::memcpy(idx + left.size(), right.data(),

@@ -140,3 +140,16 @@ def test_golden_cube_checksum_stable():
     img = np.asarray(render(cam, arrays, backend="bvh"))
     golden = np.load("tests/golden/cube_64.npy")
     np.testing.assert_array_equal(img, golden)
+
+
+def test_blinn_phong_adds_specular():
+    """blinn_phong = lambert + a clamped half-vector specular lobe
+    (BASELINE config 3), so it can only brighten pixels. Light chosen
+    near the camera-facing normal so the lobe is visibly nonzero but
+    the diffuse term stays below the clamp ceiling."""
+    arrays, cam = cube_scene()
+    kw = dict(backend="bvh", light_direction=(-0.3, -1.0, 0.3))
+    a = np.asarray(render(cam, arrays, lighting="lambert", **kw))
+    b = np.asarray(render(cam, arrays, lighting="blinn_phong", **kw))
+    assert (b.astype(int) >= a.astype(int)).all()
+    assert (b != a).any(), "no specular highlight anywhere"

@@ -56,12 +56,20 @@ def test_uv_attachment():
 def test_scene_compiles_with_offsets():
     scene = build_two_instance_scene()
     arrays = scene.compile()
-    assert arrays.num_triangles == 14
+    # 12-tri cube pads to 16, 2-tri board pads to 8 (8-aligned leaf
+    # blocks for the packet kernel's row-per-quad leaf loop)
+    assert arrays.num_triangles == 24
     assert arrays.num_instances == 2
+    # every leaf block starts on a record-row boundary
+    leaf = np.asarray(arrays.node_child_a) < 0
+    assert (np.asarray(arrays.node_leaf_start)[leaf] % 8 == 0).all()
+    # padding triangles are degenerate (zero normal -> never hit)
+    normals = np.asarray(arrays.tri_normal)
+    assert (normals[12:16] == 0).all() and (normals[16 + 2:] == 0).all()
     # mesh 1's root node references offset nodes/triangles
     assert int(arrays.mesh_root[1]) == len(scene.meshes[0].bvh.child_a)
     tri_mesh = np.asarray(arrays.tri_mesh)
-    assert (tri_mesh[:12] == 0).all() and (tri_mesh[12:] == 1).all()
+    assert (tri_mesh[:16] == 0).all() and (tri_mesh[16:] == 1).all()
     # texture atlas packed
     assert int(arrays.mat_tex_start[1]) == 0
     assert int(arrays.mat_tex_w[1]) == 64

@@ -99,6 +99,11 @@ def _eval_axis(cent_ax, tmin, tmax, node_min_ax, node_max_ax, tests_per_axis):
     return float(cost[best]), float(pos[best])
 
 
+# Nodes above this size always split (see the forced-split note in
+# fill); must stay well under the packet kernel's 1023-triangle leaf cap
+FORCE_SPLIT_ABOVE = 512
+
+
 def build_bvh(
     v0: np.ndarray,
     v1: np.ndarray,
@@ -166,7 +171,17 @@ def build_bvh(
             axis, split_pos, best_cost = 2, pz, cz
 
         node_cost = float(_half_area(mn, mx) * len(idx))
-        if best_cost >= node_cost:
+        # Forced split for oversized nodes: the reference's strict
+        # no-gain stop (best_cost < cost(), BVHTree.hpp:246-247) dead-
+        # locks on uniform thin slabs — splitting a slab in half gives
+        # EXACTLY equal half-area*count — which at Sponza scale (e.g.
+        # the 1M-tri colonnade, one z-band spanning every column)
+        # produces leaves far beyond the kernel's 10-bit count cap.
+        # Nodes above FORCE_SPLIT_ABOVE split regardless, falling back
+        # to a stable median split on the longest axis when the SAH
+        # candidate is one-sided.
+        oversized = len(idx) > FORCE_SPLIT_ABOVE
+        if best_cost >= node_cost and not oversized:
             make_leaf(node_id, idx)
             return node_id
 
@@ -174,8 +189,14 @@ def build_bvh(
         left_idx = idx[left_mask]
         right_idx = idx[~left_mask]
         if len(left_idx) == 0 or len(right_idx) == 0:
-            make_leaf(node_id, idx)
-            return node_id
+            if not oversized:
+                make_leaf(node_id, idx)
+                return node_id
+            ax2 = int(np.argmax(mx - mn))
+            med = np.argsort(cent[:, ax2], kind="stable")
+            half = len(idx) // 2
+            left_idx = idx[med[:half]]
+            right_idx = idx[med[half:]]
 
         child_a[node_id] = fill(left_idx, depth + 1)
         child_b[node_id] = fill(right_idx, depth + 1)

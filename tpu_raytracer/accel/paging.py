@@ -63,8 +63,13 @@ class PageTable:
 
 
 def _subtree_extents(child_a, child_b, leaf_start, leaf_count):
-    """Per-node subtree node count, triangle count and first-triangle id.
-    O(N) reverse sweep — children always follow parents in DFS preorder."""
+    """Per-node subtree node count, PADDED triangle span and
+    first-triangle id. O(N) reverse sweep — children always follow
+    parents in DFS preorder.
+
+    Spans are in the scene's 8-aligned leaf layout (scene.py): each
+    leaf owns [start, start + ceil(count/8)*8), so spans tile the
+    padded table contiguously and a subtree is one contiguous window."""
     n = len(child_a)
     size = np.ones(n, np.int64)
     tris = np.zeros(n, np.int64)
@@ -72,7 +77,7 @@ def _subtree_extents(child_a, child_b, leaf_start, leaf_count):
     for i in range(n - 1, -1, -1):
         ca = child_a[i]
         if ca < 0:
-            tris[i] = leaf_count[i]
+            tris[i] = (leaf_count[i] + 7) // 8 * 8
             tri_lo[i] = leaf_start[i]
         else:
             cb = child_b[i]
@@ -105,7 +110,8 @@ def build_page_table(
     size, tris, tri_lo = _subtree_extents(
         child_a, child_b, np.asarray(leaf_start), np.asarray(leaf_count)
     )
-    if int(np.asarray(leaf_count).max(initial=0)) > page_tris:
+    max_span = (int(np.asarray(leaf_count).max(initial=0)) + 7) // 8 * 8
+    if max_span > page_tris:
         raise ValueError("a BVH leaf exceeds the page triangle capacity")
 
     n = len(child_a)

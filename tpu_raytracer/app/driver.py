@@ -149,7 +149,7 @@ def main():
     ap.add_argument("--frames", type=int, default=10)
     ap.add_argument("--backend", default=None, choices=["brute", "bvh", "pallas"])
     ap.add_argument("--lighting", default="flat",
-                    choices=["flat", "lambert", "lambert_shadow"])
+                    choices=["flat", "lambert", "lambert_shadow", "blinn_phong"])
     ap.add_argument("--scene", default="demo",
                     choices=["demo", "cube", "cornell", "bunny",
                              "instances", "colonnade"])

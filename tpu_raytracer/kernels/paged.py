@@ -193,10 +193,9 @@ def _paged_kernel(num_instances: int, with_stats: bool, *refs):
             hit = (far >= near) & (far > 0.0) & (near < t_cap)
             return jnp.min(jnp.where(hit, near, BIG))
 
-        def test_tri(k, live, t_b, tri_b, in_b, trow0):
-            """Identical math to the main kernel's test_tri; triangle
-            record fetched from the current page buffer."""
-            rec = fetch_record(ptrif_ref, k, trow0)
+        def test_tri(rec, k, live, t_b, tri_b, in_b):
+            """Identical math to the main kernel's test_tri; ``rec`` is
+            extracted from the quad's shared page-buffer row."""
             ax = rec[0:1, :]
             ay = rec[1:2, :]
             az = rec[2:3, :]
@@ -273,13 +272,26 @@ def _paged_kernel(num_instances: int, with_stats: bool, *refs):
             return sp_out, code
 
         def leaf_loop(start, count, st, trow0):
+            """One shared page-buffer row load per 8-triangle group
+            (leaf starts are 8-aligned, scene.py leaf layout) — same
+            scheme as the resident kernel's leaf_loop."""
+
             def quad_body(q, acc):
                 t_b, tri_b, in_b = acc
                 k0 = start + q * LEAF_UNROLL
+                row = ptrif_ref[pl.ds(k0 // REC_PER_ROW - trow0, 1), :]
+                rep = jnp.broadcast_to(row, (REC_LANES, TILE_L))
                 for u_ in range(LEAF_UNROLL):
                     k = k0 + u_
+                    mask = lane16 == u_ * REC_LANES + sub16  # static
+                    vals = jnp.sum(
+                        jnp.where(mask, rep, 0.0), axis=1, keepdims=True
+                    )
+                    rec = vals + jnp.zeros(
+                        (REC_LANES, TILE_L), jnp.float32
+                    )
                     t_b, tri_b, in_b = test_tri(
-                        k, k < start + count, t_b, tri_b, in_b, trow0
+                        rec, k, k < start + count, t_b, tri_b, in_b
                     )
                 return t_b, tri_b, in_b
 

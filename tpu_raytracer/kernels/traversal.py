@@ -123,6 +123,8 @@ _S_PUSH = STACK_SIZE + POP_K  # +POP_K
 _SMEM_SLOTS = STACK_SIZE + 2 * POP_K
 
 LEAF_UNROLL = 8  # triangles tested per leaf-loop iteration (leaves avg ~12 at min_leaf 16)
+# leaf_loop's one-row-per-quad fetch requires group == row width
+assert LEAF_UNROLL == REC_PER_ROW
 
 
 def _quat_rot(qw, qx, qy, qz, vx, vy, vz):
@@ -386,13 +388,14 @@ def _traversal_kernel(
             hit = (far >= near) & (far > 0.0) & (near < t_cap)
             return jnp.min(jnp.where(hit, near, BIG))
 
-        def test_tri(k, live, t_b, tri_b, in_b):
+        def test_tri(rec, k, live, t_b, tri_b, in_b):
             """Dense masked test of triangle k against the tile
             (TrianglePrimitive.hpp:62-79, 151-169; cull
             raycast.cu:107-109). Record fields are the precomputed
             intermediates of intersect.point_in_triangle_uv, so t/u/v
-            here are bit-identical to the brute-force oracle."""
-            rec = fetch_record(trif_ref, k)
+            here are bit-identical to the brute-force oracle. ``rec``
+            is the [16, 128] record value (leaf_loop extracts it from
+            the quad's shared row)."""
             ax = rec[0:1, :]
             ay = rec[1:2, :]
             az = rec[2:3, :]
@@ -522,13 +525,28 @@ def _traversal_kernel(
             return sp_out, leaf[::-1], pops
 
         def leaf_loop(start, count, st):
+            """Leaf starts are 8-aligned (scene.py leaf layout), so each
+            LEAF_UNROLL(=8)-triangle group is exactly ONE 128-lane row
+            of the packed table: one dynamic row load shared by all 8
+            tests, with compile-time extraction masks (vs one dynamic
+            load + dynamic-masked cross-lane reduce per triangle)."""
+
             def quad_body(q, acc):
                 t_b, tri_b, in_b = acc
                 k0 = start + q * LEAF_UNROLL
+                row = trif_ref[pl.ds(k0 // REC_PER_ROW, 1), :]
+                rep = jnp.broadcast_to(row, (REC_LANES, TILE_L))
                 for u_ in range(LEAF_UNROLL):
                     k = k0 + u_
+                    mask = lane16 == u_ * REC_LANES + sub16  # static
+                    vals = jnp.sum(
+                        jnp.where(mask, rep, 0.0), axis=1, keepdims=True
+                    )
+                    rec = vals + jnp.zeros(
+                        (REC_LANES, TILE_L), jnp.float32
+                    )
                     t_b, tri_b, in_b = test_tri(
-                        k, k < start + count, t_b, tri_b, in_b
+                        rec, k, k < start + count, t_b, tri_b, in_b
                     )
                 return t_b, tri_b, in_b
 

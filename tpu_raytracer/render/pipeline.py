@@ -27,7 +27,7 @@ class RenderConfig:
     width: int
     height: int
     backend: str = "bvh"  # brute | bvh | pallas
-    lighting: str = "flat"  # flat | lambert | lambert_shadow
+    lighting: str = "flat"  # flat | lambert | lambert_shadow | blinn_phong
     light_direction: tuple = DEFAULT_LIGHT_DIRECTION
     exact_math: bool = True  # False = reference Q_rsqrt normalize parity
 
@@ -52,6 +52,7 @@ def render_image(
     return shade_primary(
         scene, attrs, config.light_direction, config.lighting,
         exact=config.exact_math, backend=config.backend,
+        directions=directions,
     )
 
 
@@ -76,6 +77,7 @@ def _render_image_paged_jit(
     return shade_primary(
         scene, attrs, config.light_direction, config.lighting,
         exact=config.exact_math, backend="pallas",
+        directions=directions,
     )
 
 

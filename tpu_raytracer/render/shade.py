@@ -60,6 +60,12 @@ def surface_color(scene: SceneArrays, attrs: HitAttributes) -> jax.Array:
     return jnp.where(textured[..., None], tex, alb)
 
 
+# Blinn-Phong constants (BASELINE config 3: "Blinn-Phong, 1080p") — the
+# reference has no specular term at all, so these are framework knobs.
+BLINN_SHININESS = 32.0
+BLINN_SPECULAR = 0.5
+
+
 def compute_illumination(
     scene: SceneArrays,
     attrs: HitAttributes,
@@ -67,6 +73,7 @@ def compute_illumination(
     mode: str,
     exact: bool = True,
     backend: str = "bvh",
+    directions=None,
 ) -> jax.Array:
     """Scalar illumination per ray.
 
@@ -74,7 +81,10 @@ def compute_illumination(
     (raycast.cu:282-290). ``lambert``: cosine-weighted. ``lambert_shadow``:
     cosine-weighted with a hard shadow ray toward the directional light —
     the reference's disabled scaffolding (raycast.cu:263-287) done
-    properly. All modes end with the reference clamp.
+    properly. ``blinn_phong``: lambert plus a half-vector specular lobe
+    (BASELINE config 3; needs ``directions`` = the primary ray
+    directions for the view vector). All modes end with the reference
+    clamp.
     """
     light_dir = normalize(jnp.asarray(light_direction, jnp.float32), exact=exact)
     if mode == "flat":
@@ -82,7 +92,14 @@ def compute_illumination(
     else:
         cos_illum = dot(attrs.normal, light_dir)
         illum = jnp.maximum(cos_illum, 0.0)
-        if mode == "lambert_shadow":
+        if mode == "blinn_phong":
+            if directions is None:
+                raise ValueError("blinn_phong needs the ray directions")
+            view = -normalize(jnp.asarray(directions, jnp.float32), exact=exact)
+            half = normalize(light_dir + view, exact=exact)
+            spec = jnp.maximum(dot(attrs.normal, half), 0.0)
+            illum = illum + BLINN_SPECULAR * spec ** BLINN_SHININESS
+        elif mode == "lambert_shadow":
             from .sorted_cast import park_dead_rays, secondary_cast_fn
 
             cast = secondary_cast_fn(get_cast_fn(backend), backend)
@@ -112,12 +129,14 @@ def shade_primary(
     mode: str = "flat",
     exact: bool = True,
     backend: str = "bvh",
+    directions=None,
 ) -> jax.Array:
     """Full primary-hit shade -> uint8 image in the reference's channel
     order. Misses get the sky color (raycast.cu:208-216)."""
     color = surface_color(scene, attrs)
     illum = compute_illumination(
-        scene, attrs, light_direction, mode, exact=exact, backend=backend
+        scene, attrs, light_direction, mode, exact=exact, backend=backend,
+        directions=directions,
     )
     rgb = illum[..., None] * color * jnp.float32(255.0)
     shaded = rgb.astype(jnp.uint8)  # C-cast truncation (raycast.cu:292-294)

@@ -159,13 +159,6 @@ class Scene:
         tri_off = 0
         node_off = 0
         for mesh_id, mesh in enumerate(self.meshes):
-            tri_mesh.append(np.full(mesh.num_triangles, mesh_id, np.int32))
-            for k, arr in (
-                ("v0", mesh.v0), ("v1", mesh.v1), ("v2", mesh.v2),
-                ("normal", mesh.normal),
-                ("uv0", mesh.uv0), ("uv1", mesh.uv1), ("uv2", mesh.uv2),
-            ):
-                tri_parts[k].append(arr)
             b = mesh.bvh
             internal = b.child_a >= 0
             # Invariants the packet kernel's packed node codes rely on
@@ -181,14 +174,48 @@ class Scene:
                     f"leaf with {b.leaf_count.max()} triangles exceeds the "
                     "kernel's 10-bit leaf size (degenerate mesh?)"
                 )
+
+            # 8-ALIGNED LEAF LAYOUT: re-pack this mesh's (already
+            # leaf-contiguous) triangles so every leaf's block starts at
+            # a multiple of 8 = the packed-record row width. The packet
+            # kernel's leaf loop then loads ONE 128-lane row per
+            # 8-triangle group with compile-time extraction masks
+            # (kernels/traversal.py leaf_loop) instead of one dynamic
+            # row load + cross-lane reduce per triangle. Gaps hold
+            # degenerate all-zero triangles: normal == 0 fails every
+            # backend's denom test, and leaf counts never cover them.
+            leaves = np.nonzero(~internal)[0]
+            leaves = leaves[np.argsort(b.leaf_start[leaves], kind="stable")]
+            counts = b.leaf_count[leaves].astype(np.int64)
+            aligned = (counts + 7) // 8 * 8
+            new_starts = np.concatenate(([0], np.cumsum(aligned)[:-1]))
+            new_total = int(aligned.sum())
+            leaf_of_pos = np.repeat(np.arange(len(leaves)), aligned)
+            off_in_leaf = np.arange(new_total) - new_starts[leaf_of_pos]
+            src = b.leaf_start[leaves][leaf_of_pos] + off_in_leaf
+            pad = off_in_leaf >= counts[leaf_of_pos]
+            src = np.where(pad, 0, src)
+
+            tri_mesh.append(np.full(new_total, mesh_id, np.int32))
+            for k, arr in (
+                ("v0", mesh.v0), ("v1", mesh.v1), ("v2", mesh.v2),
+                ("normal", mesh.normal),
+                ("uv0", mesh.uv0), ("uv1", mesh.uv1), ("uv2", mesh.uv2),
+            ):
+                tri_parts[k].append(
+                    np.where(pad[:, None], np.float32(0.0), arr[src])
+                )
+            ls = np.zeros(b.num_nodes, np.int64)
+            ls[leaves] = new_starts
+
             node_parts["min"].append(b.node_min)
             node_parts["max"].append(b.node_max)
             node_parts["ca"].append(np.where(internal, b.child_a + node_off, -1).astype(np.int32))
             node_parts["cb"].append(np.where(internal, b.child_b + node_off, -1).astype(np.int32))
-            node_parts["ls"].append((b.leaf_start + tri_off).astype(np.int32))
+            node_parts["ls"].append((ls + tri_off).astype(np.int32))
             node_parts["lc"].append(b.leaf_count)
             mesh_root.append(node_off)
-            tri_off += mesh.num_triangles
+            tri_off += new_total
             node_off += b.num_nodes
 
         # --- instances ---
