@@ -71,10 +71,17 @@ from .traversal import (
 )
 
 # Page buffer capacities in 128-lane rows (+1 row: a page's node/tri
-# range need not start row-aligned, so it can span one extra row).
-CODE_ROWS = PAGE_NODES // TILE_L + 1
-NODE_ROWS = PAGE_NODES // REC_PER_ROW + 1
-TRI_ROWS = PAGE_TRIS // REC_PER_ROW + 1
+# range need not start row-aligned, so it can span one extra row),
+# rounded UP to a multiple of 8: DMAs whose sublane extent is not a
+# multiple of the 8-row tile hang or fault the chip (probed on v5e —
+# unaligned row OFFSETS are fine, unaligned row COUNTS are not).
+def _round8(rows: int) -> int:
+    return -(-rows // 8) * 8
+
+
+CODE_ROWS = _round8(PAGE_NODES // TILE_L + 1)
+NODE_ROWS = _round8(PAGE_NODES // REC_PER_ROW + 1)
+TRI_ROWS = _round8(PAGE_TRIS // REC_PER_ROW + 1)
 
 # SMEM layout: top stack | page stack | code word | push word
 _PSTACK = STACK_SIZE
