@@ -145,22 +145,44 @@ def _traversal_kernel(
     with_stats: bool,
     frustum: bool,
     bf16_box: bool,
+    uniform_o: bool,
     *refs,
 ):
-    (
-        inst_tab_ref,  # SMEM [I, 12] f32: quat(4) xyz(3) inv_scale(3) pad
-        inst_root_ref,  # SMEM [I] i32 root node id
-        frust_ref,  # SMEM [1, I, 12] f32 per-(tile,instance) packet bounds
-        ox_ref, oy_ref, oz_ref,  # VMEM [1, TILE_S, 128] f32 ray origins
-        dx_ref, dy_ref, dz_ref,  # VMEM [1, TILE_S, 128] f32 ray directions
-        code_ref,  # VMEM [ceil(N/128), 128] i32 packed control words
-        nodef_ref,  # VMEM [ceil(N/8), 128] f32 16-lane records: A+B boxes
-        trif_ref,  # VMEM [ceil(T/8), 128] f32 16-lane records (see module doc)
-    ) = refs[:12]
-    if with_stats:
-        t_out_ref, tri_out_ref, inst_out_ref, pops_ref, tests_ref, smem_ref = refs[12:]
+    if uniform_o:
+        # Uniform-origin specialization (primary rays: ONE camera
+        # origin for the whole image). Ray-origin tiles are not passed;
+        # worigin_ref carries the world origin, and per-instance
+        # object-space origins become SCALARS — every (box - o) and
+        # (A - o)·n intermediate collapses from [TILE_S, 128] to
+        # [1, 128] row math, with bit-identical values.
+        (
+            inst_tab_ref,  # SMEM [I, 12] f32: quat(4) xyz(3) inv_scale(3) pad
+            inst_root_ref,  # SMEM [I] i32 root node id
+            frust_ref,  # SMEM [1, I, 12] f32 per-(tile,instance) packet bounds
+            worigin_ref,  # SMEM [3] f32 world-space ray origin
+            dx_ref, dy_ref, dz_ref,  # VMEM [1, TILE_S, 128] f32 ray directions
+            code_ref,  # VMEM [ceil(N/128), 128] i32 packed control words
+            nodef_ref,  # VMEM [ceil(N/8), 128] f32 16-lane records: A+B boxes
+            trif_ref,  # VMEM [ceil(T/8), 128] f32 16-lane records (see module doc)
+        ) = refs[:10]
+        rest = refs[10:]
+        ox_ref = oy_ref = oz_ref = None
     else:
-        t_out_ref, tri_out_ref, inst_out_ref, smem_ref = refs[12:]
+        (
+            inst_tab_ref,  # SMEM [I, 12] f32: quat(4) xyz(3) inv_scale(3) pad
+            inst_root_ref,  # SMEM [I] i32 root node id
+            frust_ref,  # SMEM [1, I, 12] f32 per-(tile,instance) packet bounds
+            ox_ref, oy_ref, oz_ref,  # VMEM [1, TILE_S, 128] f32 ray origins
+            dx_ref, dy_ref, dz_ref,  # VMEM [1, TILE_S, 128] f32 ray directions
+            code_ref,  # VMEM [ceil(N/128), 128] i32 packed control words
+            nodef_ref,  # VMEM [ceil(N/8), 128] f32 16-lane records: A+B boxes
+            trif_ref,  # VMEM [ceil(T/8), 128] f32 16-lane records (see module doc)
+        ) = refs[:12]
+        rest = refs[12:]
+    if with_stats:
+        t_out_ref, tri_out_ref, inst_out_ref, pops_ref, tests_ref, smem_ref = rest
+    else:
+        t_out_ref, tri_out_ref, inst_out_ref, smem_ref = rest
 
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_L), 1)
     lane16 = jax.lax.broadcasted_iota(jnp.int32, (REC_LANES, TILE_L), 1)
@@ -175,7 +197,9 @@ def _traversal_kernel(
         vals = jnp.sum(jnp.where(mask, rep, 0.0), axis=1, keepdims=True)
         return vals + jnp.zeros((REC_LANES, TILE_L), jnp.float32)
 
-    rays = tuple(r[0] for r in (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref))
+    dirs = tuple(r[0] for r in (dx_ref, dy_ref, dz_ref))
+    if not uniform_o:
+        origs = tuple(r[0] for r in (ox_ref, oy_ref, oz_ref))
     best = (
         jnp.full((TILE_S, TILE_L), BIG, jnp.float32),
         jnp.full((TILE_S, TILE_L), -1, jnp.int32),
@@ -197,9 +221,17 @@ def _traversal_kernel(
         sz = inst_tab_ref[i, 9]
 
         # Object-space rays (raycast.cu:32-51)
-        wox, woy, woz, wdx, wdy, wdz = rays
+        wdx, wdy, wdz = dirs
         odx, ody, odz = _quat_rot(qw, qx, qy, qz, wdx, wdy, wdz)
         odx, ody, odz = odx * sx, ody * sy, odz * sz
+        if uniform_o:
+            # scalar object-space origin: same f32 ops on scalars, so
+            # every downstream value is bit-identical to the array path
+            wox = worigin_ref[0]
+            woy = worigin_ref[1]
+            woz = worigin_ref[2]
+        else:
+            wox, woy, woz = origs
         oox, ooy, ooz = _quat_rot(qw, qx, qy, qz, wox - px, woy - py, woz - pz)
         oox, ooy, ooz = oox * sx, ooy * sy, ooz * sz
 
@@ -214,7 +246,11 @@ def _traversal_kernel(
 
         idx_, idy_, idz_ = _inv(odx), _inv(ody), _inv(odz)
 
-        fma_box = FMA_BOX and not (bf16_box or frustum)
+        # With a scalar origin the plain (b - o) * inv form is cheaper:
+        # the subtract is a [1, 128] row op, so each plane costs one
+        # full-tile multiply — the hoisted-o*inv FMA form would make
+        # both operands full [TILE_S, 128] tiles again.
+        fma_box = FMA_BOX and not (bf16_box or frustum or uniform_o)
         if fma_box:
             oix, oiy, oiz = oox * idx_, ooy * idy_, ooz * idz_
 
@@ -751,11 +787,17 @@ def _stats_enabled() -> bool:
 
 
 def _run_kernel(scene: SceneArrays, tiled, interpret: bool, frustum: bool,
-                bf16_box: bool):
+                bf16_box: bool, worigin=None):
     """Invoke the pallas traversal over [n_tiles, TILE_S, 128] ray
-    tiles, one tile per grid step."""
-    ox, oy, oz, dx, dy, dz = tiled
-    n_tiles = ox.shape[0]
+    tiles, one tile per grid step. ``worigin`` (a [3] world origin)
+    selects the uniform-origin specialization: ``tiled`` then carries
+    only the three direction arrays."""
+    uniform_o = worigin is not None
+    if uniform_o:
+        dx, dy, dz = tiled
+    else:
+        ox, oy, oz, dx, dy, dz = tiled
+    n_tiles = dx.shape[0]
     (inst_tab, inst_root), node_arrays, tri_arrays = _scene_kernel_inputs(
         scene, bf16_box=bf16_box and not frustum
     )
@@ -781,20 +823,32 @@ def _run_kernel(scene: SceneArrays, tiled, interpret: bool, frustum: bool,
         memory_space=pltpu.SMEM,
     )
 
-    inputs = (inst_tab, inst_root, frust_tab,
-              ox, oy, oz, dx, dy, dz, *node_arrays, *tri_arrays)
-    in_specs = (
-        [smem_whole(inst_tab), smem_whole(inst_root), frust_spec]
-        + [ray_spec] * 6
-        + [vmem_whole(a) for a in node_arrays]
-        + [vmem_whole(a) for a in tri_arrays]
-    )
+    if uniform_o:
+        wo = jnp.asarray(worigin, jnp.float32)
+        inputs = (inst_tab, inst_root, frust_tab, wo,
+                  dx, dy, dz, *node_arrays, *tri_arrays)
+        in_specs = (
+            [smem_whole(inst_tab), smem_whole(inst_root), frust_spec,
+             smem_whole(wo)]
+            + [ray_spec] * 3
+            + [vmem_whole(a) for a in node_arrays]
+            + [vmem_whole(a) for a in tri_arrays]
+        )
+    else:
+        inputs = (inst_tab, inst_root, frust_tab,
+                  ox, oy, oz, dx, dy, dz, *node_arrays, *tri_arrays)
+        in_specs = (
+            [smem_whole(inst_tab), smem_whole(inst_root), frust_spec]
+            + [ray_spec] * 6
+            + [vmem_whole(a) for a in node_arrays]
+            + [vmem_whole(a) for a in tri_arrays]
+        )
     f32s = jax.ShapeDtypeStruct((n_tiles, TILE_S, TILE_L), jnp.float32)
     i32s = jax.ShapeDtypeStruct((n_tiles, TILE_S, TILE_L), jnp.int32)
     out_shape = (f32s, i32s, i32s) + ((i32s, i32s) if with_stats else ())
     kernel = functools.partial(
         _traversal_kernel, scene.num_instances, with_stats, frustum,
-        bf16_box and not frustum,
+        bf16_box and not frustum, uniform_o,
     )
     outs = pl.pallas_call(
         kernel,
@@ -881,7 +935,16 @@ def cast_rays_pallas(scene: SceneArrays, origin, directions, interpret=None,
     if bf16_box is None:
         bf16_box = _bf16_default()
     directions = jnp.asarray(directions, jnp.float32)
-    origin = jnp.broadcast_to(jnp.asarray(origin, jnp.float32), directions.shape)
+    origin = jnp.asarray(origin, jnp.float32)
+    # Static uniform-origin detection: generate_rays returns a single
+    # [3] camera origin for primary rays — the kernel then keeps every
+    # origin-dependent intermediate as scalar/row math (no origin ray
+    # tiles at all). The frustum A/B variant builds its table from
+    # per-tile origin bounds, so it keeps the broadcast path.
+    uniform_o = origin.ndim == 1 and not frustum
+    worigin = origin if uniform_o else None
+    if not uniform_o:
+        origin = jnp.broadcast_to(origin, directions.shape)
     shape = directions.shape[:-1]
 
     use_2d = (
@@ -891,30 +954,35 @@ def cast_rays_pallas(scene: SceneArrays, origin, directions, interpret=None,
     )
     if use_2d:
         h, w = shape
-        tiled = tuple(
-            _image_to_tiles(a[..., c]) for a, c in
-            [(origin, 0), (origin, 1), (origin, 2),
-             (directions, 0), (directions, 1), (directions, 2)]
+        srcs = [(directions, 0), (directions, 1), (directions, 2)]
+        if not uniform_o:
+            srcs = [(origin, 0), (origin, 1), (origin, 2)] + srcs
+        tiled = tuple(_image_to_tiles(a[..., c]) for a, c in srcs)
+        t, tri, inst = _run_kernel(
+            scene, tiled, interpret, frustum, bf16_box, worigin
         )
-        t, tri, inst = _run_kernel(scene, tiled, interpret, frustum, bf16_box)
         return Hit(
             t=_tiles_to_image(t, h, w),
             tri=_tiles_to_image(tri, h, w),
             inst=_tiles_to_image(inst, h, w),
         )
 
-    flat_o = origin.reshape(-1, 3)
     flat_d = directions.reshape(-1, 3)
-    r = flat_o.shape[0]
+    r = flat_d.shape[0]
     pad = (-r) % TILE
     if pad:
-        flat_o = jnp.concatenate([flat_o, jnp.broadcast_to(flat_o[-1:], (pad, 3))])
         flat_d = jnp.concatenate([flat_d, jnp.broadcast_to(flat_d[-1:], (pad, 3))])
-    tiled = tuple(
-        a[:, c].reshape(-1, TILE_S, TILE_L)
-        for a, c in [(flat_o, 0), (flat_o, 1), (flat_o, 2),
-                     (flat_d, 0), (flat_d, 1), (flat_d, 2)]
+    srcs = [(flat_d, 0), (flat_d, 1), (flat_d, 2)]
+    if not uniform_o:
+        flat_o = origin.reshape(-1, 3)
+        if pad:
+            flat_o = jnp.concatenate(
+                [flat_o, jnp.broadcast_to(flat_o[-1:], (pad, 3))]
+            )
+        srcs = [(flat_o, 0), (flat_o, 1), (flat_o, 2)] + srcs
+    tiled = tuple(a[:, c].reshape(-1, TILE_S, TILE_L) for a, c in srcs)
+    t, tri, inst = _run_kernel(
+        scene, tiled, interpret, frustum, bf16_box, worigin
     )
-    t, tri, inst = _run_kernel(scene, tiled, interpret, frustum, bf16_box)
     unpack = lambda a: a.reshape(-1)[:r].reshape(shape)
     return Hit(t=unpack(t), tri=unpack(tri), inst=unpack(inst))

@@ -17,6 +17,69 @@ import numpy as np
 from ..accel.bvh import BVHArrays, build_bvh
 from ..core.vecmath import q_rsqrt
 
+# BVH-build disk cache: keyed on triangle content + builder knobs + a
+# builder-semantics version (bump when either builder's tree changes).
+# Big builds dominate large-scene startup (the 1.28M-tri colonnade
+# takes minutes); the reference rebuilds from OBJ every launch
+# (MeshPrimitive.cpp:14) — this is the checkpoint-gap fix at mesh level.
+_BVH_BUILDER_VERSION = b"bvh-v2-forcesplit512-depth48"
+
+
+def _bvh_cache_dir() -> "str":
+    import os
+
+    return os.environ.get(
+        "TRT_BVH_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "tpu_raytracer", "bvh"),
+    )
+
+
+def _cached_bvh_build(v0, v1, v2, max_depth, min_leaf_size, builder, num):
+    import hashlib
+    import os
+
+    def build():
+        if builder != "numpy":
+            from .. import accel
+
+            use_native = builder == "native" or (
+                builder == "auto" and num >= 4096
+                and accel.native.native_available()
+            )
+            if use_native:
+                return accel.native.build_bvh_native(
+                    v0, v1, v2, max_depth=max_depth,
+                    min_leaf_size=min_leaf_size,
+                )
+            if builder == "native":
+                raise RuntimeError("native BVH builder unavailable")
+        return build_bvh(
+            v0, v1, v2, max_depth=max_depth, min_leaf_size=min_leaf_size
+        )
+
+    if num < 65536:  # small builds are faster than hashing + IO churn
+        return build()
+    h = hashlib.sha256()
+    h.update(_BVH_BUILDER_VERSION)
+    h.update(np.int64(max_depth).tobytes())
+    h.update(np.int64(min_leaf_size).tobytes())
+    for a in (v0, v1, v2):
+        h.update(np.ascontiguousarray(a).tobytes())
+    fp = os.path.join(_bvh_cache_dir(), f"bvh_{h.hexdigest()[:24]}.npz")
+    if os.path.exists(fp):
+        try:
+            with np.load(fp) as data:
+                return BVHArrays(**{k: data[k] for k in data.files})
+        except Exception:
+            os.unlink(fp)
+    bvh = build()
+    os.makedirs(os.path.dirname(fp), exist_ok=True)
+    np.savez_compressed(
+        fp, **{f.name: getattr(bvh, f.name)
+               for f in dataclasses.fields(bvh)}
+    )
+    return bvh
+
 
 def _normalize_host(v: np.ndarray, exact: bool) -> np.ndarray:
     sq = np.sum(v * v, axis=-1, keepdims=True).astype(np.float32)
@@ -84,21 +147,9 @@ class MeshPrimitive:
         uv1 = zeros_uv if uv1 is None else np.asarray(uv1, np.float32).reshape(-1, 2)
         uv2 = zeros_uv if uv2 is None else np.asarray(uv2, np.float32).reshape(-1, 2)
 
-        bvh = None
-        if builder != "numpy":
-            from .. import accel
-
-            use_native = builder == "native" or (
-                builder == "auto" and num >= 4096 and accel.native.native_available()
-            )
-            if use_native:
-                bvh = accel.native.build_bvh_native(
-                    v0, v1, v2, max_depth=max_depth, min_leaf_size=min_leaf_size
-                )
-            elif builder == "native":
-                raise RuntimeError("native BVH builder unavailable")
-        if bvh is None:
-            bvh = build_bvh(v0, v1, v2, max_depth=max_depth, min_leaf_size=min_leaf_size)
+        bvh = _cached_bvh_build(
+            v0, v1, v2, max_depth, min_leaf_size, builder, num
+        )
         p = bvh.order  # reorder into leaf-contiguous order
         return cls(
             v0=v0[p], v1=v1[p], v2=v2[p], normal=normal[p],
