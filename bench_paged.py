@@ -74,10 +74,16 @@ def main():
     xs[64:128] = cam.width // 2
     sample_d = jnp.asarray(d_np[ys, xs])
     hp = cast_rays_paged(arrays, tables, o, sample_d)
-    hb = cast_rays_brute(arrays, o, sample_d)
-    t_ok = np.allclose(np.asarray(hp.t), np.asarray(hb.t),
-                       rtol=1e-5, atol=1e-5)
-    tri_same = int((np.asarray(hp.tri) != np.asarray(hb.tri)).sum())
+    # brute is O(rays * tris) in memory -- chunk to stay inside HBM
+    bt, btri = [], []
+    for c in range(0, len(ys), 16):
+        hb = cast_rays_brute(arrays, o, sample_d[c:c + 16])
+        bt.append(np.asarray(hb.t))
+        btri.append(np.asarray(hb.tri))
+    bt = np.concatenate(bt)
+    btri = np.concatenate(btri)
+    t_ok = np.allclose(np.asarray(hp.t), bt, rtol=1e-5, atol=1e-5)
+    tri_same = int((np.asarray(hp.tri) != btri).sum())
     print(json.dumps({"paged_vs_brute_t_close": bool(t_ok),
                       "tri_id_diffs_of_192": tri_same}), flush=True)
 

@@ -117,6 +117,12 @@ POP_K = int(os.environ.get("TRT_POP_K", "3"))
 # rounding note at the use site; oracle-gated. TRT_FMA_BOX=0 reverts.
 FMA_BOX = os.environ.get("TRT_FMA_BOX", "1") != "0"
 
+# E2: batch the POP_K x 2 child-entry cross-lane reduces into ONE
+# [8,128] lane reduce + ONE packed SMEM push word per sync (needs
+# POP_K <= 4). TRT_BATCH_REDUCE=1 enables for A/B.
+BATCH_REDUCE = os.environ.get("TRT_BATCH_REDUCE", "0") == "1"
+assert not (BATCH_REDUCE and POP_K > 4), "batched reduce packs 3 bits x POP_K"
+
 # SMEM scratch slot map (after the stack)
 _S_CODE = STACK_SIZE  # +POP_K
 _S_PUSH = STACK_SIZE + POP_K  # +POP_K
@@ -372,7 +378,7 @@ def _traversal_kernel(
                 )
                 return jnp.sum(jnp.where(lane1 == 0, w, 0))
 
-        def packet_entry(rec, base, t_cap):
+        def packet_entry(rec, base, t_cap, row_reduce=False):
             """Packet slab test (BVHTree.hpp:40-54) against the box in
             record rows [base, base+6); returns the min entry over lanes
             that beat their best, or BIG. The absolute 1e-12 watertight
@@ -422,7 +428,12 @@ def _traversal_kernel(
                 jnp.fmax(t1z, t2z),
             )
             hit = (far >= near) & (far > 0.0) & (near < t_cap)
-            return jnp.min(jnp.where(hit, near, BIG))
+            cand = jnp.where(hit, near, BIG)
+            if row_reduce:
+                # sublane-phase only: the cross-lane phase is batched
+                # over all POP_K x 2 children in popk (TRT_BATCH_REDUCE)
+                return jnp.min(cand, axis=0, keepdims=True)
+            return jnp.min(cand)
 
         def test_tri(rec, k, live, t_b, tri_b, in_b):
             """Dense masked test of triangle k against the tile
@@ -494,6 +505,10 @@ def _traversal_kernel(
                 spm = spm - acts[j]
 
             # --- vector phase: issue everything, read nothing ---
+            batch_reduce = BATCH_REDUCE and not (frustum or bf16_box)
+            if batch_reduce:
+                rows_a, rows_b = [], []
+                big_row = jnp.full((1, TILE_L), BIG, jnp.float32)
             if frustum:
                 # Packet t-cap: max best-hit distance over all rays
                 # (per-ray caps need per-ray tests; the packet bound is
@@ -508,6 +523,9 @@ def _traversal_kernel(
                 rec = fetch_record(nodef_ref, node)
                 if frustum:
                     smem_ref[_S_PUSH + j] = frustum_words(rec, t_cap11)
+                elif batch_reduce:
+                    rows_a.append(packet_entry(rec, 0, t_b, row_reduce=True))
+                    rows_b.append(packet_entry(rec, 6, t_b, row_reduce=True))
                 else:
                     if bf16_box:
                         tb_wide = t_b * (1.0 + 2.0 ** -6)
@@ -524,6 +542,31 @@ def _traversal_kernel(
                         + 4 * (db < BIG).astype(jnp.int32)
                     )
 
+            if batch_reduce and not frustum:
+                # E2 (TRT_BATCH_REDUCE): ONE cross-lane reduce + ONE
+                # SMEM word for all POP_K x 2 children. packet_entry
+                # already folded sublanes ([TILE_S,128] -> [1,128]);
+                # stack A-children in rows 0..K-1 and B-children in
+                # rows 4..4+K-1 of one [8,128] tile, lane-reduce it
+                # once, then pack each pop's 3-bit push word into a
+                # single SMEM scalar at 3j.
+                pad_rows = [big_row] * (4 - POP_K)
+                stacked = jnp.concatenate(
+                    rows_a + pad_rows + rows_b + pad_rows, axis=0
+                )
+                mins = jnp.min(stacked, axis=1, keepdims=True)  # [8,1]
+                da8 = mins[0:4]
+                db8 = mins[4:8]
+                words = (
+                    (da8 <= db8).astype(jnp.int32)
+                    + 2 * (da8 < BIG).astype(jnp.int32)
+                    + 4 * (db8 < BIG).astype(jnp.int32)
+                )  # [4,1]; rows >= POP_K come from BIG pads -> word 1
+                sub41 = jax.lax.broadcasted_iota(jnp.int32, (4, 1), 0)
+                smem_ref[_S_PUSH] = jnp.sum(
+                    jnp.where(sub41 < POP_K, words << (3 * sub41), 0)
+                )
+
             # --- scalar phase (single combined stall) ---
             # The farthest pop's children go on the stack first so the
             # nearest pop's are popped first next iteration.
@@ -535,7 +578,10 @@ def _traversal_kernel(
                 is_int = ((code >= 0).astype(jnp.int32)) * act
                 ca = node + 1  # DFS preorder: left child follows parent
                 cb = jnp.maximum(code, 0)
-                w_ = smem_ref[_S_PUSH + j] * is_int
+                if batch_reduce and not frustum:
+                    w_ = ((smem_ref[_S_PUSH] >> (3 * j)) & 7) * is_int
+                else:
+                    w_ = smem_ref[_S_PUSH + j] * is_int
                 a_first = 1 - (w_ & 1)
                 pa = (w_ >> 1) & 1
                 pb = (w_ >> 2) & 1

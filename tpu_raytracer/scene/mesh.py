@@ -119,7 +119,7 @@ class MeshPrimitive:
         max_depth: int = 48,
         exact_normals: bool = True,
         builder: str = "auto",
-        min_leaf_size: int = 16,
+        min_leaf_size: int | None = None,
     ) -> "MeshPrimitive":
         """Build from raw triangle arrays; computes winding normals when
         none are given (TrianglePrimitive.hpp:15-23) and builds the BVH
@@ -134,6 +134,13 @@ class MeshPrimitive:
         the packet kernel's 8-triangles-per-step shape and shrink the
         wide-BVH node table. Rendered images are identical either way;
         only traversal cost changes."""
+        if min_leaf_size is None:
+            # default 16; TRT_MIN_LEAF overrides for perf sweeps (r1
+            # sweep on the 82k-tri config: 4 -> 94.7, 8 -> 110.9,
+            # 16 -> 124.3, 32 -> 123.1 Mrays/s)
+            import os
+
+            min_leaf_size = int(os.environ.get("TRT_MIN_LEAF", "16"))
         v0 = np.asarray(v0, np.float32).reshape(-1, 3)
         v1 = np.asarray(v1, np.float32).reshape(-1, 3)
         v2 = np.asarray(v2, np.float32).reshape(-1, 3)
