@@ -90,25 +90,45 @@ _S_PUSH = 2 * STACK_SIZE + 1
 _SMEM_SLOTS = 2 * STACK_SIZE + 2
 
 
-def _paged_kernel(num_instances: int, with_stats: bool, *refs):
-    (
-        inst_tab_ref,  # SMEM [I, 12] f32 quat/pos/inv_scale
-        inst_root_ref,  # SMEM [I] i32 TOP-TREE rank of the instance root
-        page_tab_ref,  # SMEM [P, 2] i32 (node0, tri0) per page
-        ox_ref, oy_ref, oz_ref,
-        dx_ref, dy_ref, dz_ref,  # VMEM [1, TILE_S, 128] f32 ray tiles
-        tcode_ref,  # VMEM [ceil(Nt/128), 128] i32 top control words
-        tnodef_ref,  # VMEM [ceil(Nt/8), 128] f32 top 16-lane records
-        gcode_ref,  # ANY  [*, 128] i32 global control words (HBM)
-        gnodef_ref,  # ANY  [*, 128] f32 global node records (HBM)
-        gtrif_ref,  # ANY  [*, 128] f32 global triangle records (HBM)
-    ) = refs[:14]
+def _paged_kernel(num_instances: int, with_stats: bool, uniform_o: bool,
+                  *refs):
+    if uniform_o:
+        # uniform-origin specialization (see kernels/traversal.py):
+        # origin ray tiles absent, world origin in SMEM
+        (
+            inst_tab_ref,  # SMEM [I, 12] f32 quat/pos/inv_scale
+            inst_root_ref,  # SMEM [I] i32 TOP-TREE rank of the instance root
+            page_tab_ref,  # SMEM [P, 2] i32 (node0, tri0) per page
+            worigin_ref,  # SMEM [3] f32 world-space ray origin
+            dx_ref, dy_ref, dz_ref,  # VMEM [1, TILE_S, 128] f32 ray tiles
+            tcode_ref,  # VMEM [ceil(Nt/128), 128] i32 top control words
+            tnodef_ref,  # VMEM [ceil(Nt/8), 128] f32 top 16-lane records
+            gcode_ref,  # ANY  [*, 128] i32 global control words (HBM)
+            gnodef_ref,  # ANY  [*, 128] f32 global node records (HBM)
+            gtrif_ref,  # ANY  [*, 128] f32 global triangle records (HBM)
+        ) = refs[:12]
+        rest = refs[12:]
+        ox_ref = oy_ref = oz_ref = None
+    else:
+        (
+            inst_tab_ref,  # SMEM [I, 12] f32 quat/pos/inv_scale
+            inst_root_ref,  # SMEM [I] i32 TOP-TREE rank of the instance root
+            page_tab_ref,  # SMEM [P, 2] i32 (node0, tri0) per page
+            ox_ref, oy_ref, oz_ref,
+            dx_ref, dy_ref, dz_ref,  # VMEM [1, TILE_S, 128] f32 ray tiles
+            tcode_ref,  # VMEM [ceil(Nt/128), 128] i32 top control words
+            tnodef_ref,  # VMEM [ceil(Nt/8), 128] f32 top 16-lane records
+            gcode_ref,  # ANY  [*, 128] i32 global control words (HBM)
+            gnodef_ref,  # ANY  [*, 128] f32 global node records (HBM)
+            gtrif_ref,  # ANY  [*, 128] f32 global triangle records (HBM)
+        ) = refs[:14]
+        rest = refs[14:]
     if with_stats:
         (t_out_ref, tri_out_ref, inst_out_ref, pops_ref, tests_ref,
-         smem_ref, pcode_ref, pnodef_ref, ptrif_ref, sem_ref) = refs[14:]
+         smem_ref, pcode_ref, pnodef_ref, ptrif_ref, sem_ref) = rest
     else:
         (t_out_ref, tri_out_ref, inst_out_ref,
-         smem_ref, pcode_ref, pnodef_ref, ptrif_ref, sem_ref) = refs[14:]
+         smem_ref, pcode_ref, pnodef_ref, ptrif_ref, sem_ref) = rest
 
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_L), 1)
     lane16 = jax.lax.broadcasted_iota(jnp.int32, (REC_LANES, TILE_L), 1)
@@ -128,7 +148,9 @@ def _paged_kernel(num_instances: int, with_stats: bool, *refs):
         crow = ref[pl.ds(node // TILE_L - row0, 1), :]
         return jnp.sum(jnp.where(lane1 == node % TILE_L, crow, 0))
 
-    rays = tuple(r[0] for r in (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref))
+    dirs = tuple(r[0] for r in (dx_ref, dy_ref, dz_ref))
+    if not uniform_o:
+        origs = tuple(r[0] for r in (ox_ref, oy_ref, oz_ref))
     best = (
         jnp.full((TILE_S, TILE_L), BIG, jnp.float32),
         jnp.full((TILE_S, TILE_L), -1, jnp.int32),
@@ -149,9 +171,15 @@ def _paged_kernel(num_instances: int, with_stats: bool, *refs):
         sy = inst_tab_ref[i, 8]
         sz = inst_tab_ref[i, 9]
 
-        wox, woy, woz, wdx, wdy, wdz = rays
+        wdx, wdy, wdz = dirs
         odx, ody, odz = _quat_rot(qw, qx, qy, qz, wdx, wdy, wdz)
         odx, ody, odz = odx * sx, ody * sy, odz * sz
+        if uniform_o:
+            wox = worigin_ref[0]
+            woy = worigin_ref[1]
+            woz = worigin_ref[2]
+        else:
+            wox, woy, woz = origs
         oox, ooy, ooz = _quat_rot(qw, qx, qy, qz, wox - px, woy - py, woz - pz)
         oox, ooy, ooz = oox * sx, ooy * sy, ooz * sz
 
@@ -162,7 +190,8 @@ def _paged_kernel(num_instances: int, with_stats: bool, *refs):
             return 1.0 / safe
 
         idx_, idy_, idz_ = _inv(odx), _inv(ody), _inv(odz)
-        if FMA_BOX:
+        fma_box = FMA_BOX and not uniform_o
+        if fma_box:
             oix, oiy, oiz = oox * idx_, ooy * idy_, ooz * idz_
 
         def packet_entry(rec, base, t_cap):
@@ -175,7 +204,7 @@ def _paged_kernel(num_instances: int, with_stats: bool, *refs):
             bmaxx = rec[base + 3 : base + 4, :]
             bmaxy = rec[base + 4 : base + 5, :]
             bmaxz = rec[base + 5 : base + 6, :]
-            if FMA_BOX:
+            if fma_box:
                 t1x = bminx * idx_ - oix
                 t2x = bmaxx * idx_ - oix
                 t1y = bminy * idy_ - oiy
@@ -471,9 +500,14 @@ def prepare_paged(scene: SceneArrays, page_tris: int = PAGE_TRIS,
     return tables
 
 
-def _run_paged(scene: SceneArrays, tables: PagedTables, tiled, interpret):
-    ox, oy, oz, dx, dy, dz = tiled
-    n_tiles = ox.shape[0]
+def _run_paged(scene: SceneArrays, tables: PagedTables, tiled, interpret,
+               worigin=None):
+    uniform_o = worigin is not None
+    if uniform_o:
+        dx, dy, dz = tiled
+    else:
+        ox, oy, oz, dx, dy, dz = tiled
+    n_tiles = dx.shape[0]
     quat = T.euler2quat(scene.inst_pose[:, 3:6])
     pad = jnp.zeros((scene.num_instances, 2), jnp.float32)
     inst_tab = jnp.concatenate(
@@ -493,24 +527,40 @@ def _run_paged(scene: SceneArrays, tables: PagedTables, tiled, interpret):
     )
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
 
-    inputs = (
-        inst_tab, inst_root, tables.page_tab,
-        ox, oy, oz, dx, dy, dz,
-        tables.top_code, tables.top_nodef,
-        tables.gcode, tables.gnodef, tables.gtrif,
-    )
-    in_specs = (
-        [smem_whole(inst_tab), smem_whole(inst_root),
-         smem_whole(tables.page_tab)]
-        + [ray_spec] * 6
-        + [vmem_whole(tables.top_code), vmem_whole(tables.top_nodef)]
-        + [any_spec] * 3
-    )
+    if uniform_o:
+        wo = jnp.asarray(worigin, jnp.float32)
+        inputs = (
+            inst_tab, inst_root, tables.page_tab, wo,
+            dx, dy, dz,
+            tables.top_code, tables.top_nodef,
+            tables.gcode, tables.gnodef, tables.gtrif,
+        )
+        in_specs = (
+            [smem_whole(inst_tab), smem_whole(inst_root),
+             smem_whole(tables.page_tab), smem_whole(wo)]
+            + [ray_spec] * 3
+            + [vmem_whole(tables.top_code), vmem_whole(tables.top_nodef)]
+            + [any_spec] * 3
+        )
+    else:
+        inputs = (
+            inst_tab, inst_root, tables.page_tab,
+            ox, oy, oz, dx, dy, dz,
+            tables.top_code, tables.top_nodef,
+            tables.gcode, tables.gnodef, tables.gtrif,
+        )
+        in_specs = (
+            [smem_whole(inst_tab), smem_whole(inst_root),
+             smem_whole(tables.page_tab)]
+            + [ray_spec] * 6
+            + [vmem_whole(tables.top_code), vmem_whole(tables.top_nodef)]
+            + [any_spec] * 3
+        )
     f32s = jax.ShapeDtypeStruct((n_tiles, TILE_S, TILE_L), jnp.float32)
     i32s = jax.ShapeDtypeStruct((n_tiles, TILE_S, TILE_L), jnp.int32)
     out_shape = (f32s, i32s, i32s) + ((i32s, i32s) if with_stats else ())
     kernel = functools.partial(
-        _paged_kernel, scene.num_instances, with_stats
+        _paged_kernel, scene.num_instances, with_stats, uniform_o
     )
     outs = pl.pallas_call(
         kernel,
@@ -551,7 +601,11 @@ def cast_rays_paged(scene: SceneArrays, tables: PagedTables, origin,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     directions = jnp.asarray(directions, jnp.float32)
-    origin = jnp.broadcast_to(jnp.asarray(origin, jnp.float32), directions.shape)
+    origin = jnp.asarray(origin, jnp.float32)
+    uniform_o = origin.ndim == 1
+    worigin = origin if uniform_o else None
+    if not uniform_o:
+        origin = jnp.broadcast_to(origin, directions.shape)
     shape = directions.shape[:-1]
 
     use_2d = (
@@ -561,30 +615,31 @@ def cast_rays_paged(scene: SceneArrays, tables: PagedTables, origin,
     )
     if use_2d:
         h, w = shape
-        tiled = tuple(
-            _image_to_tiles(a[..., c]) for a, c in
-            [(origin, 0), (origin, 1), (origin, 2),
-             (directions, 0), (directions, 1), (directions, 2)]
-        )
-        t, tri, inst = _run_paged(scene, tables, tiled, interpret)
+        srcs = [(directions, 0), (directions, 1), (directions, 2)]
+        if not uniform_o:
+            srcs = [(origin, 0), (origin, 1), (origin, 2)] + srcs
+        tiled = tuple(_image_to_tiles(a[..., c]) for a, c in srcs)
+        t, tri, inst = _run_paged(scene, tables, tiled, interpret, worigin)
         return Hit(
             t=_tiles_to_image(t, h, w),
             tri=_tiles_to_image(tri, h, w),
             inst=_tiles_to_image(inst, h, w),
         )
 
-    flat_o = origin.reshape(-1, 3)
     flat_d = directions.reshape(-1, 3)
-    r = flat_o.shape[0]
+    r = flat_d.shape[0]
     pad = (-r) % TILE
     if pad:
-        flat_o = jnp.concatenate([flat_o, jnp.broadcast_to(flat_o[-1:], (pad, 3))])
         flat_d = jnp.concatenate([flat_d, jnp.broadcast_to(flat_d[-1:], (pad, 3))])
-    tiled = tuple(
-        a[:, c].reshape(-1, TILE_S, TILE_L)
-        for a, c in [(flat_o, 0), (flat_o, 1), (flat_o, 2),
-                     (flat_d, 0), (flat_d, 1), (flat_d, 2)]
-    )
-    t, tri, inst = _run_paged(scene, tables, tiled, interpret)
+    srcs = [(flat_d, 0), (flat_d, 1), (flat_d, 2)]
+    if not uniform_o:
+        flat_o = origin.reshape(-1, 3)
+        if pad:
+            flat_o = jnp.concatenate(
+                [flat_o, jnp.broadcast_to(flat_o[-1:], (pad, 3))]
+            )
+        srcs = [(flat_o, 0), (flat_o, 1), (flat_o, 2)] + srcs
+    tiled = tuple(a[:, c].reshape(-1, TILE_S, TILE_L) for a, c in srcs)
+    t, tri, inst = _run_paged(scene, tables, tiled, interpret, worigin)
     unpack = lambda a: a.reshape(-1)[:r].reshape(shape)
     return Hit(t=unpack(t), tri=unpack(tri), inst=unpack(inst))
