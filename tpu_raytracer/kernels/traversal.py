@@ -105,12 +105,14 @@ MAX_LEAF_TRIS = LEAF_SHIFT - 1
 
 # Nodes popped per scalar/vector sync. More pops per sync amortize the
 # vector->SMEM->scalar round-trip (the measured per-iteration latency
-# floor) at the cost of a slightly degraded descent order: pops 2..K
-# can't see pop 1's stack pushes or leaf t-updates.
+# floor) at the cost of a degraded descent order: pops 2..K can't see
+# pop 1's stack pushes or leaf t-updates.
 # Swept on the 82k-tri 1080p config: K=2 131.7, K=3 135.4, K=4 134.2,
-# K=6 116.8 Mrays/s — the scalar stall is mostly amortized by K=2-3 and
-# larger K degrades descent order (more visits) for no sync savings.
-POP_K = int(os.environ.get("TRT_POP_K", "3"))
+# K=6 116.8 Mrays/s. BUT on the deep, heavily occluded 256k-tri
+# colonnade the stale order is catastrophic: K=2 32.8 vs K=3 13.3
+# Mrays/s (r2 A/B). Default 2: the +3% K=3 buys on shallow scenes is
+# not worth -60% on deep ones.
+POP_K = int(os.environ.get("TRT_POP_K", "2"))
 
 # Slab-test form: b*inv - (o*inv with o*inv hoisted per instance) = one
 # fusable multiply-subtract per plane vs sub-then-mul (v14). See the
