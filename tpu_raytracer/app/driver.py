@@ -72,6 +72,8 @@ def run(
     """
     if backend is None:
         backend = "pallas" if jax.default_backend() == "tpu" else "bvh"
+    if backend == "paged" and mode != "primary":
+        raise ValueError("the paged backend supports --mode primary only")
 
     if scene_name == "demo":
         scene = build_demo_scene()
@@ -124,7 +126,12 @@ def run(
         p = camera.ray_params()
         args = (config, arrays, p["K_inv"], p["D"], p["pose"], p["inv_pose"])
         if mode == "primary":
-            img = render_image(*args)
+            if backend == "paged":
+                from ..render.pipeline import render_image_paged
+
+                img = render_image_paged(*args)
+            else:
+                img = render_image(*args)
         elif mode == "whitted":
             img = render_image_whitted(*args)
         elif mode == "path":
@@ -147,7 +154,7 @@ def main():
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1088)
     ap.add_argument("--frames", type=int, default=10)
-    ap.add_argument("--backend", default=None, choices=["brute", "bvh", "pallas"])
+    ap.add_argument("--backend", default=None, choices=["brute", "bvh", "pallas", "paged"])
     ap.add_argument("--lighting", default="flat",
                     choices=["flat", "lambert", "lambert_shadow", "blinn_phong"])
     ap.add_argument("--scene", default="demo",

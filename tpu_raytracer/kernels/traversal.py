@@ -119,6 +119,13 @@ POP_K = int(os.environ.get("TRT_POP_K", "2"))
 # rounding note at the use site; oracle-gated. TRT_FMA_BOX=0 reverts.
 FMA_BOX = os.environ.get("TRT_FMA_BOX", "1") != "0"
 
+# SMEM budget for the scalar-resident control-word table (v5e SMEM
+# caps ~256KB; leave headroom for instance tables + the stack).
+# TRT_SMEM_CODES=0 forces the VMEM code path for A/B.
+SMEM_CODE_BUDGET = (
+    0 if os.environ.get("TRT_SMEM_CODES", "1") == "0" else 200 * 1024
+)
+
 # E2: batch the POP_K x 2 child-entry cross-lane reduces into ONE
 # [8,128] lane reduce + ONE packed SMEM push word per sync (needs
 # POP_K <= 4). TRT_BATCH_REDUCE=1 enables for A/B.
@@ -154,6 +161,7 @@ def _traversal_kernel(
     frustum: bool,
     bf16_box: bool,
     uniform_o: bool,
+    smem_codes: bool,
     *refs,
 ):
     if uniform_o:
@@ -518,10 +526,13 @@ def _traversal_kernel(
                 t_cap11 = jnp.max(t_b, keepdims=True).reshape(1, 1)
             for j in range(POP_K):
                 node = nodes[j]
-                crow = code_ref[pl.ds(node // TILE_L, 1), :]
-                smem_ref[_S_CODE + j] = jnp.sum(
-                    jnp.where(lane1 == node % TILE_L, crow, 0)
-                )
+                if not smem_codes:
+                    # VMEM codes: dynamic row load + one-hot lane
+                    # reduce, staged through SMEM for the scalar phase
+                    crow = code_ref[pl.ds(node // TILE_L, 1), :]
+                    smem_ref[_S_CODE + j] = jnp.sum(
+                        jnp.where(lane1 == node % TILE_L, crow, 0)
+                    )
                 rec = fetch_record(nodef_ref, node)
                 if frustum:
                     smem_ref[_S_PUSH + j] = frustum_words(rec, t_cap11)
@@ -576,7 +587,12 @@ def _traversal_kernel(
             leaf = []
             for j in reversed(range(POP_K)):
                 node, act = nodes[j], acts[j]
-                code = smem_ref[_S_CODE + j]
+                if smem_codes:
+                    # control word read DIRECTLY by the scalar core —
+                    # no vector fetch, no staging store, no extra sync
+                    code = code_ref[node]
+                else:
+                    code = smem_ref[_S_CODE + j]
                 is_int = ((code >= 0).astype(jnp.int32)) * act
                 ca = node + 1  # DFS preorder: left child follows parent
                 cb = jnp.maximum(code, 0)
@@ -705,7 +721,8 @@ def _bf16_above(x: jax.Array) -> jax.Array:
     return -_bf16_below(-x)
 
 
-def _scene_kernel_inputs(scene: SceneArrays, bf16_box: bool = False):
+def _scene_kernel_inputs(scene: SceneArrays, bf16_box: bool = False,
+                         smem_codes: bool = False):
     """Derive the kernel's packed arrays from SceneArrays (pure jnp,
     fused into the surrounding jit).
 
@@ -727,7 +744,11 @@ def _scene_kernel_inputs(scene: SceneArrays, bf16_box: bool = False):
     is_leaf = scene.node_child_a < 0
     packed_leaf = scene.node_leaf_start * LEAF_SHIFT + scene.node_leaf_count
     code = jnp.where(is_leaf, -packed_leaf - 1, scene.node_child_b)
-    code_arr = _pack128(code.astype(jnp.int32), -1)
+    if smem_codes:
+        # raw [N] i32 — SMEM-resident, read directly by the scalar core
+        code_arr = code.astype(jnp.int32)
+    else:
+        code_arr = _pack128(code.astype(jnp.int32), -1)
 
     # Both children's boxes in the parent's 16-lane record.
     ca = jnp.maximum(scene.node_child_a, 0)
@@ -846,8 +867,12 @@ def _run_kernel(scene: SceneArrays, tiled, interpret: bool, frustum: bool,
     else:
         ox, oy, oz, dx, dy, dz = tiled
     n_tiles = dx.shape[0]
+    # control words fit SMEM for most resident-scene sizes (<=~50k
+    # nodes): the scalar core then reads codes directly — no vector
+    # fetch, no staging store (popk smem_codes path)
+    smem_codes = scene.node_child_a.shape[0] * 4 <= SMEM_CODE_BUDGET
     (inst_tab, inst_root), node_arrays, tri_arrays = _scene_kernel_inputs(
-        scene, bf16_box=bf16_box and not frustum
+        scene, bf16_box=bf16_box and not frustum, smem_codes=smem_codes
     )
     with_stats = _stats_enabled()
     frust_tab = (
@@ -875,20 +900,22 @@ def _run_kernel(scene: SceneArrays, tiled, interpret: bool, frustum: bool,
         wo = jnp.asarray(worigin, jnp.float32)
         inputs = (inst_tab, inst_root, frust_tab, wo,
                   dx, dy, dz, *node_arrays, *tri_arrays)
+        code_spec = smem_whole if smem_codes else vmem_whole
         in_specs = (
             [smem_whole(inst_tab), smem_whole(inst_root), frust_spec,
              smem_whole(wo)]
             + [ray_spec] * 3
-            + [vmem_whole(a) for a in node_arrays]
+            + [code_spec(node_arrays[0]), vmem_whole(node_arrays[1])]
             + [vmem_whole(a) for a in tri_arrays]
         )
     else:
         inputs = (inst_tab, inst_root, frust_tab,
                   ox, oy, oz, dx, dy, dz, *node_arrays, *tri_arrays)
+        code_spec = smem_whole if smem_codes else vmem_whole
         in_specs = (
             [smem_whole(inst_tab), smem_whole(inst_root), frust_spec]
             + [ray_spec] * 6
-            + [vmem_whole(a) for a in node_arrays]
+            + [code_spec(node_arrays[0]), vmem_whole(node_arrays[1])]
             + [vmem_whole(a) for a in tri_arrays]
         )
     f32s = jax.ShapeDtypeStruct((n_tiles, TILE_S, TILE_L), jnp.float32)
@@ -896,7 +923,7 @@ def _run_kernel(scene: SceneArrays, tiled, interpret: bool, frustum: bool,
     out_shape = (f32s, i32s, i32s) + ((i32s, i32s) if with_stats else ())
     kernel = functools.partial(
         _traversal_kernel, scene.num_instances, with_stats, frustum,
-        bf16_box and not frustum, uniform_o,
+        bf16_box and not frustum, uniform_o, smem_codes,
     )
     outs = pl.pallas_call(
         kernel,
