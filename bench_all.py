@@ -85,8 +85,10 @@ def main():
     p = cam.ray_params()
     args = (cfg, arrays, p["K_inv"], p["D"], p["pose"], p["inv_pose"])
     try:
+        # frames=8: with only 2 pipelined frames the ~25ms tunnel
+        # round-trip dominated the 2ms compute (read 49 fps vs 120)
         report("5a colonnade 256k-tri primary", cam,
-               timed(lambda: render_image(*args), frames=2))
+               timed(lambda: render_image(*args)))
     except Exception as e:
         print(json.dumps({"config": "5a colonnade", "error": str(e)[:160]}),
               flush=True)

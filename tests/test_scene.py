@@ -136,3 +136,23 @@ def test_objloader_mixed_face_tokens_degrade_untextured():
     v0, v1, v2, uv0, uv1, uv2, has_uv = objloader.parse_obj(text)
     assert len(v0) == 2  # fan-triangulated quad
     assert not has_uv.any()
+
+
+def test_flatten_static_instances_matches_render():
+    """Flattening (world-space bake into one mesh + identity instance)
+    preserves the rendered image up to transform fp noise; per-triangle
+    materials must resolve to the source instances' materials."""
+    from tpu_raytracer.render import Camera, render
+
+    scene = build_two_instance_scene()
+    cam = Camera.looking(64, 64, fov_deg=55.0, pose=[0.0, -4.0, 0.0, 0, 0, 0])
+    a = np.asarray(render(cam, scene.compile(), backend="bvh",
+                          lighting="lambert"))
+    flat_arrays = scene.compile(flatten_static=True)
+    assert int(flat_arrays.mesh_root.shape[0]) == 1
+    assert int(flat_arrays.num_instances) == 1
+    assert (np.asarray(flat_arrays.tri_mat).max()) == 1  # texture material
+    b = np.asarray(render(cam, flat_arrays, backend="bvh",
+                          lighting="lambert"))
+    same = float((a == b).all(-1).mean())
+    assert same > 0.97, f"only {same:.3f} of pixels identical"

@@ -246,13 +246,17 @@ def hit_attributes(
     normal = normalize(
         T.apply_euler(inst_inv_pose[..., 3:6], tnormal) * scale, exact=exact
     )
+    # per-triangle material override (flattened static scenes bake the
+    # source instance's material into tri_mat; -1 = resolve via inst)
+    tmat = scene.tri_mat[tri]
+    material = jnp.where(tmat >= 0, tmat, scene.inst_material[inst])
     return HitAttributes(
         hit=ok,
         t=hit.t,
         location=location,
         normal=normal,
         uv=uv,
-        material=scene.inst_material[inst],
+        material=material,
         inst=inst,
     )
 

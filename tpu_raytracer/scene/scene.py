@@ -47,6 +47,8 @@ class SceneArrays:
     tri_uv1: jax.Array
     tri_uv2: jax.Array
     tri_mesh: jax.Array  # [T] i32 owning-mesh id (for brute-force masking)
+    tri_mat: jax.Array  # [T] i32 per-triangle material, -1 = use the
+    # instance's material (only >=0 for flattened static scenes)
     # BVH nodes (global across meshes)
     node_min: jax.Array  # [N, 3] f32
     node_max: jax.Array  # [N, 3] f32
@@ -133,7 +135,62 @@ class Scene:
     def update_mesh_instance(self, index: int, instance: MeshInstance) -> None:
         self.mesh_instances[index] = instance
 
-    def compile(self, box_pad_ulp: float = 2.0 ** -21) -> SceneArrays:
+    def flattened(self) -> tuple["Scene", np.ndarray]:
+        """Bake every instance's triangles to WORLD space and merge them
+        into one mesh + one identity instance, returning the new Scene
+        and the per-triangle material ids (aligned with the merged
+        mesh's BVH-reordered triangles).
+
+        Static-scene optimization: the packet kernel traverses per
+        instance, so N instances cost N serial traversals per tile even
+        when each mesh is small (measured: the 5-instance whitted scene
+        casts at ~39 Mrays/s vs 141 for a single-mesh scene). Flattening
+        trades the reference's cheap per-instance pose updates
+        (Scene.cpp:67-74) for one merged BVH — use for scenes whose
+        instances don't move. Transforms match hit_attributes exactly
+        (world = apply_lre(inv_pose, v * scale); normals via the
+        reference's scale-multiply convention, renormalized)."""
+        from ..core import transforms as T
+
+        wv0, wv1, wv2, wn, wu0, wu1, wu2, wmat = ([] for _ in range(8))
+        for inst in self.mesh_instances:
+            mesh = self.meshes[inst.mesh_index]
+            d = inst.build_inv()
+            inv_pose = jnp.asarray(d["inv_pose"], jnp.float32)
+            scale = jnp.asarray(d["scale"], jnp.float32)
+            to_world = lambda v: np.asarray(
+                T.apply_lre(inv_pose, jnp.asarray(v) * scale), np.float32
+            )
+            wv0.append(to_world(mesh.v0))
+            wv1.append(to_world(mesh.v1))
+            wv2.append(to_world(mesh.v2))
+            n = T.apply_euler(inv_pose[3:6], jnp.asarray(mesh.normal)) * scale
+            from ..core.vecmath import normalize
+
+            wn.append(np.asarray(normalize(n), np.float32))
+            wu0.append(mesh.uv0)
+            wu1.append(mesh.uv1)
+            wu2.append(mesh.uv2)
+            wmat.append(
+                np.full(mesh.num_triangles, inst.material_index, np.int32)
+            )
+
+        cat = np.concatenate
+        merged = MeshPrimitive.from_triangles(
+            cat(wv0), cat(wv1), cat(wv2), cat(wn),
+            cat(wu0), cat(wu1), cat(wu2),
+        )
+        tri_mat = cat(wmat)[merged.bvh.order]
+
+        flat = Scene()
+        flat.materials = self.materials
+        flat.add_mesh(merged)
+        flat.add_mesh_instance(MeshInstance(0, 0))
+        return flat, tri_mat
+
+    def compile(self, box_pad_ulp: float = 2.0 ** -21,
+                flatten_static: bool = False,
+                _tri_mat: np.ndarray | None = None) -> SceneArrays:
         """Flatten to SceneArrays (the upload_to_device analog,
         Scene.cpp:25-65).
 
@@ -150,11 +207,16 @@ class Scene:
         in-kernel 1e-12 numerator nudge (render/intersect.py)."""
         if not self.meshes or not self.mesh_instances or not self.materials:
             raise ValueError("scene needs at least one mesh, instance and material")
+        if flatten_static:
+            flat, tri_mat_src = self.flattened()
+            return flat.compile(box_pad_ulp=box_pad_ulp,
+                                _tri_mat=tri_mat_src)
 
         # --- triangles + BVH nodes, concatenated with offsets ---
         tri_parts = {k: [] for k in ("v0", "v1", "v2", "normal", "uv0", "uv1", "uv2")}
         node_parts = {k: [] for k in ("min", "max", "ca", "cb", "ls", "lc")}
         tri_mesh = []
+        tri_mat_parts = []
         mesh_root = []
         tri_off = 0
         node_off = 0
@@ -197,6 +259,15 @@ class Scene:
             src = np.where(pad, 0, src)
 
             tri_mesh.append(np.full(new_total, mesh_id, np.int32))
+            # per-triangle materials (flattened scenes only); -1 =
+            # resolve via the instance, pads get -1
+            mat_src = (
+                _tri_mat if (_tri_mat is not None and mesh_id == 0)
+                else np.full(mesh.num_triangles, -1, np.int32)
+            )
+            tri_mat_parts.append(
+                np.where(pad, np.int32(-1), mat_src[src]).astype(np.int32)
+            )
             for k, arr in (
                 ("v0", mesh.v0), ("v1", mesh.v1), ("v2", mesh.v2),
                 ("normal", mesh.normal),
@@ -263,6 +334,7 @@ class Scene:
             tri_uv1=f32(cat(tri_parts["uv1"])),
             tri_uv2=f32(cat(tri_parts["uv2"])),
             tri_mesh=i32(cat(tri_mesh)),
+            tri_mat=i32(cat(tri_mat_parts)),
             node_min=f32(cat(node_parts["min"])),
             node_max=f32(cat(node_parts["max"])),
             node_child_a=i32(cat(node_parts["ca"])),
