@@ -78,6 +78,15 @@ def main():
     report("4 instances whitted x2", cam,
            timed(lambda: render_image_whitted(*args)), casts=5.0)
 
+    # 4b: the same scene with static instances flattened into one
+    # world-space mesh (Scene.flattened) — one traversal per cast
+    arrays, cam = scenes.scene_instances(512, 512, flatten=True)
+    cfg = RenderConfig(cam.width, cam.height, backend=backend)
+    p = cam.ray_params()
+    args = (cfg, arrays, p["K_inv"], p["D"], p["pose"], p["inv_pose"])
+    report("4b instances whitted x2 (flattened)", cam,
+           timed(lambda: render_image_whitted(*args)), casts=5.0)
+
     # 5: colonnade, 256k tris on the fast kernel (scene tables ~20MB of
     # VMEM; the pallas_call raises the compiler's 16MB default limit)
     arrays, cam = scenes.scene_colonnade(512, 512)

@@ -72,8 +72,11 @@ def scene_bunny(width: int = 1920, height: int = 1088, subdivisions: int = 6):
     return scene.compile(), cam
 
 
-def scene_instances(width: int = 512, height: int = 512):
-    """Config 4: several posed/scaled instances, one mirror."""
+def scene_instances(width: int = 512, height: int = 512,
+                    flatten: bool = False):
+    """Config 4: several posed/scaled instances, one mirror.
+    ``flatten`` bakes the static instances into one world-space mesh
+    (Scene.flattened — one traversal per cast instead of four)."""
     scene = Scene()
     matte = scene.add_material(Material(albedo=(0.9, 0.9, 0.9)))
     blue = scene.add_material(Material(albedo=(0.9, 0.2, 0.1)))
@@ -103,7 +106,7 @@ def scene_instances(width: int = 512, height: int = 512):
     c.scale = np.array([0.5, 0.5, 0.5], np.float32)
     scene.add_mesh_instance(c)
     cam = Camera.looking(width, height, fov_deg=60.0, pose=[0, -1.5, 0.3, 0, 0, 0])
-    return scene.compile(), cam
+    return scene.compile(flatten_static=flatten), cam
 
 
 def scene_colonnade(width: int = 1024, height: int = 1024,
