@@ -233,12 +233,20 @@ def hit_attributes(
     obj_dir = T.apply_euler(inst_pose[..., 3:6], directions) * inv_scale
     obj_org = T.apply_lre(inst_pose, origin) * inv_scale
 
-    tv0 = scene.tri_v0[tri]
-    tnormal = scene.tri_normal[tri]
+    # ONE wide row gather instead of 7 separate table gathers (TPU
+    # gathers are expensive per-op; the [T, 18] concat is a cheap
+    # bandwidth pass inside the same jit)
+    packed = jnp.concatenate(
+        [scene.tri_v0, scene.tri_v1, scene.tri_v2, scene.tri_normal,
+         scene.tri_uv0, scene.tri_uv1, scene.tri_uv2], axis=1
+    )
+    rec = packed[tri]
+    tv0 = rec[..., 0:3]
+    tnormal = rec[..., 9:12]
     _, point, _ = ray_plane_hit(obj_org, obj_dir, tv0, tnormal)
     uv, _ = point_in_triangle_uv(
-        point, tv0, scene.tri_v1[tri], scene.tri_v2[tri],
-        scene.tri_uv0[tri], scene.tri_uv1[tri], scene.tri_uv2[tri],
+        point, tv0, rec[..., 3:6], rec[..., 6:9],
+        rec[..., 12:14], rec[..., 14:16], rec[..., 16:18],
     )
     location = T.apply_lre(inst_inv_pose, point * scale)
     # World normal: reference multiplies by scale (raycast.cu:115-122);

@@ -47,7 +47,13 @@ def sample_texture(scene: SceneArrays, material, uv) -> jax.Array:
     tex_x = jnp.maximum(_c_mod(tex_x, w), 0)
     tex_y = jnp.maximum(_c_mod(tex_y, h), 0)
     idx = jnp.maximum(start, 0) + tex_y * w + tex_x
-    texel = scene.tex_atlas[jnp.clip(idx, 0, scene.tex_atlas.shape[0] - 1)]
+    # atlas texels are PACKED one-i32-per-texel (r | g<<8 | b<<16,
+    # scene.py): a single-word gather is far cheaper on TPU than a
+    # [P, 3] u8 row gather; unpack with shifts after the gather
+    word = scene.tex_atlas[jnp.clip(idx, 0, scene.tex_atlas.shape[0] - 1)]
+    texel = jnp.stack(
+        [word & 0xFF, (word >> 8) & 0xFF, (word >> 16) & 0xFF], axis=-1
+    )
     return texel.astype(jnp.float32) * jnp.float32(0.0039215)
 
 

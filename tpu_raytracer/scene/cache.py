@@ -25,7 +25,7 @@ DEFAULT_CACHE_DIR = os.environ.get(
 
 # Bump when SceneArrays' field set or compile semantics change, so old
 # cache entries never alias a new-format scene.
-_FORMAT_VERSION = b"scenearrays-v4-trimat"
+_FORMAT_VERSION = b"scenearrays-v5-packedtex"
 
 
 def scene_fingerprint(scene: Scene) -> str:

@@ -74,7 +74,7 @@ class SceneArrays:
     mat_tex_w: jax.Array  # [K] i32
     mat_tex_h: jax.Array  # [K] i32
     # Texture atlas
-    tex_atlas: jax.Array  # [P, 3] uint8, P >= 1
+    tex_atlas: jax.Array  # [P] i32, one packed r|g<<8|b<<16 texel each
 
     @property
     def num_triangles(self) -> int:
@@ -308,11 +308,15 @@ class Scene:
                 tex_start.append(-1)
                 tex_w.append(0)
                 tex_h.append(0)
-        atlas = (
+        atlas_u8 = (
             np.concatenate(atlas_parts, axis=0)
             if atlas_parts
             else np.zeros((1, 3), np.uint8)
         )
+        # pack r|g<<8|b<<16 into one i32 per texel: single-word gathers
+        # are far cheaper than [P, 3] u8 row gathers on TPU
+        a32 = atlas_u8.astype(np.int32)
+        atlas = a32[:, 0] | (a32[:, 1] << 8) | (a32[:, 2] << 16)
 
         f32 = lambda x: jnp.asarray(np.asarray(x, np.float32))
         i32 = lambda x: jnp.asarray(np.asarray(x, np.int32))
@@ -356,5 +360,5 @@ class Scene:
             mat_tex_start=i32(tex_start),
             mat_tex_w=i32(tex_w),
             mat_tex_h=i32(tex_h),
-            tex_atlas=jnp.asarray(atlas),
+            tex_atlas=jnp.asarray(atlas, jnp.int32),
         )
