@@ -133,8 +133,12 @@ def render_whitted(
             scene, cast2, attrs, light_direction, point_lights, exact, shadows
         )
         illum = jnp.clip(illum, 0.4, 1.0)  # reference clamp (raycast.cu:289-290)
-        refl = scene.mat_reflectivity[attrs.material]
-        emit = scene.mat_illumination[attrs.material]
+        rpack = jnp.stack(
+            [scene.mat_reflectivity, scene.mat_illumination], axis=1
+        )
+        rrec = rpack[attrs.material]
+        refl = rrec[..., 0]
+        emit = rrec[..., 1]
         local = color * illum[..., None] * (1.0 - refl[..., None]) + emit[..., None]
         radiance = radiance + jnp.where(live[..., None], throughput * local, 0.0)
 

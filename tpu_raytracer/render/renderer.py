@@ -225,10 +225,16 @@ def hit_attributes(
     tri = jnp.maximum(hit.tri, 0)
     inst = jnp.maximum(hit.inst, 0)
 
-    inst_pose = scene.inst_pose[inst]
-    inst_inv_pose = scene.inst_inv_pose[inst]
-    scale = scene.inst_scale[inst]
-    inv_scale = scene.inst_inv_scale[inst]
+    # one [I, 18] gather for all per-instance transform fields
+    ipack = jnp.concatenate(
+        [scene.inst_pose, scene.inst_inv_pose, scene.inst_scale,
+         scene.inst_inv_scale], axis=1
+    )
+    irec = ipack[inst]
+    inst_pose = irec[..., 0:6]
+    inst_inv_pose = irec[..., 6:12]
+    scale = irec[..., 12:15]
+    inv_scale = irec[..., 15:18]
 
     obj_dir = T.apply_euler(inst_pose[..., 3:6], directions) * inv_scale
     obj_org = T.apply_lre(inst_pose, origin) * inv_scale

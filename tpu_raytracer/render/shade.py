@@ -39,9 +39,13 @@ def sample_texture(scene: SceneArrays, material, uv) -> jax.Array:
     """Nearest-neighbor texture fetch from the flat atlas with the
     reference's wrap semantics (raycast.cu:224-240). Returns [..., 3]
     f32 in [0, 1]."""
-    w = scene.mat_tex_w[material]
-    h = scene.mat_tex_h[material]
-    start = scene.mat_tex_start[material]
+    return _sample_texture_vals(
+        scene, scene.mat_tex_start[material], scene.mat_tex_w[material],
+        scene.mat_tex_h[material], uv,
+    )
+
+
+def _sample_texture_vals(scene, start, w, h, uv) -> jax.Array:
     tex_x = (uv[..., 0] * w.astype(jnp.float32)).astype(jnp.int32)
     tex_y = ((1.0 - uv[..., 1]) * h.astype(jnp.float32)).astype(jnp.int32)
     tex_x = jnp.maximum(_c_mod(tex_x, w), 0)
@@ -59,11 +63,25 @@ def sample_texture(scene: SceneArrays, material, uv) -> jax.Array:
 
 def surface_color(scene: SceneArrays, attrs: HitAttributes) -> jax.Array:
     """Texture sample where textured, else albedo (raycast.cu:224-245).
-    Multiplied against the ray color (init (1,1,1), Ray.hpp:21)."""
-    textured = scene.mat_tex_start[attrs.material] >= 0
-    tex = sample_texture(scene, attrs.material, attrs.uv)
-    alb = scene.mat_albedo[attrs.material]
-    return jnp.where(textured[..., None], tex, alb)
+    Multiplied against the ray color (init (1,1,1), Ray.hpp:21).
+    One packed [K, 6] material gather instead of four (tex start/w/h
+    fit f32 exactly at any plausible atlas size)."""
+    mpack = jnp.concatenate(
+        [
+            scene.mat_albedo,
+            scene.mat_tex_start.astype(jnp.float32)[:, None],
+            scene.mat_tex_w.astype(jnp.float32)[:, None],
+            scene.mat_tex_h.astype(jnp.float32)[:, None],
+        ],
+        axis=1,
+    )
+    m = mpack[attrs.material]
+    alb = m[..., 0:3]
+    start = m[..., 3].astype(jnp.int32)
+    w = m[..., 4].astype(jnp.int32)
+    h = m[..., 5].astype(jnp.int32)
+    tex = _sample_texture_vals(scene, start, w, h, attrs.uv)
+    return jnp.where((start >= 0)[..., None], tex, alb)
 
 
 # Blinn-Phong constants (BASELINE config 3: "Blinn-Phong, 1080p") — the
