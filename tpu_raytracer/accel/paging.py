@@ -64,31 +64,47 @@ class PageTable:
 
 def _subtree_extents(child_a, child_b, leaf_start, leaf_count):
     """Per-node subtree node count, PADDED triangle span and
-    first-triangle id. O(N) reverse sweep — children always follow
-    parents in DFS preorder.
+    first-triangle id, fully vectorized (the naive reverse sweep is a
+    45-second Python loop at 1M-triangle scale).
+
+    DFS preorder makes every subtree a contiguous node range
+    [i, end_i): end_i - 1 is the RIGHTMOST LEAF of i's subtree, reached
+    by following child_b pointers, so pointer-jumping with doubling
+    resolves all ends in O(N log depth). Leaf triangle ranges follow
+    from searchsorted over the (ascending) leaf indices: the subtree's
+    first leaf is the first leaf >= i, its last the last leaf < end_i.
 
     Spans are in the scene's 8-aligned leaf layout (scene.py): each
     leaf owns [start, start + ceil(count/8)*8), so spans tile the
     padded table contiguously and a subtree is one contiguous window."""
     n = len(child_a)
-    size = np.ones(n, np.int64)
-    tris = np.zeros(n, np.int64)
-    tri_lo = np.zeros(n, np.int64)
-    for i in range(n - 1, -1, -1):
-        ca = child_a[i]
-        if ca < 0:
-            tris[i] = (leaf_count[i] + 7) // 8 * 8
-            tri_lo[i] = leaf_start[i]
-        else:
-            cb = child_b[i]
-            size[i] += size[ca] + size[cb]
-            tris[i] = tris[ca] + tris[cb]
-            tri_lo[i] = tri_lo[ca]
-            if tri_lo[cb] != tri_lo[ca] + tris[ca]:
-                raise ValueError(
-                    "subtree triangle ranges not contiguous — BVH is not "
-                    "in DFS leaf order"
-                )
+    idx = np.arange(n, dtype=np.int64)
+    internal = child_a >= 0
+
+    # rightmost-descendant chains: cur -> child_b while internal
+    cur = np.where(internal, child_b, idx).astype(np.int64)
+    for _ in range(64):  # doubling: covers depth <= 2^64
+        nxt = cur[cur]
+        if (nxt == cur).all():
+            break
+        cur = nxt
+    end = cur + 1
+    size = end - idx
+
+    leaves = idx[~internal]  # ascending == DFS leaf order
+    span = (leaf_count[leaves].astype(np.int64) + 7) // 8 * 8
+    lo = leaf_start[leaves].astype(np.int64)
+    # padded spans must tile contiguously in leaf order
+    if len(leaves) > 1 and not (lo[1:] == lo[:-1] + span[:-1]).all():
+        raise ValueError(
+            "subtree triangle ranges not contiguous — BVH is not "
+            "in DFS leaf order"
+        )
+    hi = lo + span
+    first_leaf = np.searchsorted(leaves, idx, side="left")
+    last_leaf = np.searchsorted(leaves, end - 1, side="right") - 1
+    tri_lo = lo[first_leaf]
+    tris = hi[last_leaf] - tri_lo
     return size, tris, tri_lo
 
 

@@ -473,7 +473,10 @@ def prepare_paged(scene: SceneArrays, page_tris: int = PAGE_TRIS,
         page_nodes=page_nodes,
     )
 
-    (_, _), (code_arr, nodef), (trif,) = _scene_kernel_inputs(scene)
+    # jitted: building 1M+ packed triangle records eagerly dispatches
+    # hundreds of CPU ops (~35s at 1.28M tris); one compiled program
+    # takes ~1s
+    (_, _), (code_arr, nodef), (trif,) = jax.jit(_scene_kernel_inputs)(scene)
 
     fields = []
     for c in range(2):
