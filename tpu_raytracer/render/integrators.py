@@ -208,29 +208,37 @@ def render_path_traced(
     shape = directions.shape[:-1]
     sky = jnp.asarray(SKY_F32, jnp.float32) * sky_strength
 
-    def one_sample(carry, key):
-        def bounce_step(state, key_b, b):
-            o, d, throughput, radiance, active = state
-            hit = (cast if b == 0 else cast2)(scene, o, d)
-            attrs = hit_attributes(scene, o, d, hit, exact=exact)
-            miss = active & ~attrs.hit
-            radiance = radiance + jnp.where(miss[..., None], throughput * sky, 0.0)
-            live = active & attrs.hit
-            color = surface_color(scene, attrs)
-            emit = scene.mat_illumination[attrs.material]
-            radiance = radiance + jnp.where(
-                live[..., None], throughput * emit[..., None], 0.0
-            )
-            throughput = throughput * jnp.where(live[..., None], color, 1.0)
-            d_new = _cosine_sample(key_b, attrs.normal, exact)
-            o_new = attrs.location + d_new * SHADOW_EPS
-            o_next, d_next = _park(
-                jnp.where(live[..., None], o_new, o),
-                jnp.where(live[..., None], d_new, d),
-                live,
-            )
-            return (o_next, d_next, throughput, radiance, live), None
+    def bounce_from_attrs(state, attrs, key_b):
+        o, d, throughput, radiance, active = state
+        miss = active & ~attrs.hit
+        radiance = radiance + jnp.where(miss[..., None], throughput * sky, 0.0)
+        live = active & attrs.hit
+        color = surface_color(scene, attrs)
+        emit = scene.mat_illumination[attrs.material]
+        radiance = radiance + jnp.where(
+            live[..., None], throughput * emit[..., None], 0.0
+        )
+        throughput = throughput * jnp.where(live[..., None], color, 1.0)
+        d_new = _cosine_sample(key_b, attrs.normal, exact)
+        o_new = attrs.location + d_new * SHADOW_EPS
+        o_next, d_next = _park(
+            jnp.where(live[..., None], o_new, o),
+            jnp.where(live[..., None], d_new, d),
+            live,
+        )
+        return (o_next, d_next, throughput, radiance, live)
 
+    # The primary cast is sample-INDEPENDENT: hoist it out of the
+    # sample scan so S samples x (B+1) casts become S*B + 1 casts
+    # (the reference's per-pixel curand design re-traces primaries per
+    # sample; raycast.cu:190-204).
+    attrs0 = hit_attributes(
+        scene, origin, directions, cast(scene, origin, directions),
+        exact=exact,
+    )
+
+    def one_sample(carry, key):
+        keys = jax.random.split(key, max_bounces + 1)
         state = (
             origin,
             directions,
@@ -238,9 +246,12 @@ def render_path_traced(
             jnp.zeros(shape + (3,), jnp.float32),
             jnp.ones(shape, bool),
         )
-        keys = jax.random.split(key, max_bounces + 1)
-        for b in range(max_bounces + 1):
-            state, _ = bounce_step(state, keys[b], b)
+        state = bounce_from_attrs(state, attrs0, keys[0])
+        for b in range(1, max_bounces + 1):
+            o, d = state[0], state[1]
+            hit = cast2(scene, o, d)
+            attrs = hit_attributes(scene, o, d, hit, exact=exact)
+            state = bounce_from_attrs(state, attrs, keys[b])
         radiance = state[3]
         return carry + radiance, None
 
