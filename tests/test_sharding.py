@@ -56,3 +56,42 @@ def test_graft_dryrun_multichip():
 
     n = min(len(jax.devices()), 8)
     dryrun_multichip(n)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
+def test_sharded_whitted_matches_single_device():
+    from tpu_raytracer.parallel import render_image_whitted_sharded
+    from tpu_raytracer.render.integrators import render_whitted, to_u8
+    from tpu_raytracer.render.camera import generate_rays
+
+    arrays, cam = small_scene(64, 64)
+    mesh = make_mesh(4)
+    config = RenderConfig(width=64, height=64, backend="brute")
+    p = cam.ray_params()
+    img_sharded = np.asarray(render_image_whitted_sharded(
+        config, mesh, arrays, p["K_inv"], p["D"], p["pose"], p["inv_pose"]
+    ))
+    o, d = generate_rays(64, 64, p["K_inv"], p["D"], p["pose"], p["inv_pose"])
+    img_single = np.asarray(to_u8(render_whitted(
+        arrays, o, d, max_bounces=2, backend="brute",
+        light_direction=config.light_direction,
+    )))
+    np.testing.assert_array_equal(img_sharded, img_single)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
+def test_sharded_path_traced_runs_and_shards():
+    from tpu_raytracer.parallel import render_image_path_traced_sharded
+
+    arrays, cam = small_scene(64, 64)
+    mesh = make_mesh(4)
+    config = RenderConfig(width=64, height=64, backend="brute")
+    p = cam.ray_params()
+    img = render_image_path_traced_sharded(
+        config, mesh, arrays, p["K_inv"], p["D"], p["pose"], p["inv_pose"],
+        jax.random.PRNGKey(0), 1, 1,
+    )
+    assert len(img.sharding.device_set) == 4
+    img = np.asarray(img)
+    assert img.shape == (64, 64, 3)
+    assert (img != 0).any()

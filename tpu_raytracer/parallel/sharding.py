@@ -84,3 +84,96 @@ def render_image_sharded(
         out_specs=P(axis, None, None),
     )(scene, origin_b, directions)
     return img
+
+
+def _whitted_body(config: RenderConfig, bounces, scene, origin, directions):
+    from ..render.integrators import render_whitted, to_u8
+
+    return to_u8(render_whitted(
+        scene, origin, directions, max_bounces=bounces,
+        backend=config.backend, light_direction=config.light_direction,
+        exact=config.exact_math,
+    ))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 7))
+def render_image_whitted_sharded(
+    config: RenderConfig,
+    mesh: Mesh,
+    scene: SceneArrays,
+    K_inv: jax.Array,
+    D: jax.Array,
+    pose: jax.Array,
+    inv_pose: jax.Array,
+    bounces: int = 2,
+) -> jax.Array:
+    """Whitted reflections with image rows sharded over ``mesh``.
+    Secondary rays derive from each chip's own pixels, so the whole
+    bounce loop stays shard-local — no collectives."""
+    axis = mesh.axis_names[0]
+    if config.height % mesh.shape[axis] != 0:
+        raise ValueError("height not divisible by the device count")
+    origin, directions = generate_rays(
+        config.width, config.height, K_inv, D, pose, inv_pose,
+        exact=config.exact_math,
+    )
+    directions = jax.lax.with_sharding_constraint(
+        directions, NamedSharding(mesh, P(axis, None, None))
+    )
+    body = functools.partial(_whitted_body, config, bounces)
+    origin_b = jnp.broadcast_to(origin, directions.shape)
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None, None), P(axis, None, None)),
+        out_specs=P(axis, None, None),
+    )(scene, origin_b, directions)
+
+
+def _path_body(config: RenderConfig, bounces, samples, scene, origin,
+               directions, key):
+    from ..render.integrators import render_path_traced, to_u8
+
+    return to_u8(render_path_traced(
+        scene, origin, directions, key[0], max_bounces=bounces,
+        samples=samples, backend=config.backend, exact=config.exact_math,
+        sort_secondary=False,  # argsort inside shard_map: keep it simple
+    ))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 8, 9))
+def render_image_path_traced_sharded(
+    config: RenderConfig,
+    mesh: Mesh,
+    scene: SceneArrays,
+    K_inv: jax.Array,
+    D: jax.Array,
+    pose: jax.Array,
+    inv_pose: jax.Array,
+    key: jax.Array,
+    bounces: int = 2,
+    samples: int = 2,
+) -> jax.Array:
+    """Path tracing with image rows sharded over ``mesh``; every chip
+    gets a DISTINCT fold of the rng key so samples decorrelate across
+    shards."""
+    axis = mesh.axis_names[0]
+    n = mesh.shape[axis]
+    if config.height % n != 0:
+        raise ValueError("height not divisible by the device count")
+    origin, directions = generate_rays(
+        config.width, config.height, K_inv, D, pose, inv_pose,
+        exact=config.exact_math,
+    )
+    directions = jax.lax.with_sharding_constraint(
+        directions, NamedSharding(mesh, P(axis, None, None))
+    )
+    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(n))
+    body = functools.partial(_path_body, config, bounces, samples)
+    origin_b = jnp.broadcast_to(origin, directions.shape)
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None, None), P(axis, None, None), P(axis)),
+        out_specs=P(axis, None, None),
+    )(scene, origin_b, directions, keys)

@@ -256,7 +256,9 @@ def render_path_traced(
         return carry + radiance, None
 
     keys = jax.random.split(key, samples)
-    total = jnp.zeros(shape + (3,), jnp.float32)
+    # zeros_like(directions) (not a fresh zeros): under shard_map the
+    # scan carry must inherit the inputs' varying mesh axes
+    total = jnp.zeros_like(directions)
     total, _ = jax.lax.scan(one_sample, total, keys)
     return total / samples
 
