@@ -83,11 +83,14 @@ CODE_ROWS = _round8(PAGE_NODES // TILE_L + 1)
 NODE_ROWS = _round8(PAGE_NODES // REC_PER_ROW + 1)
 TRI_ROWS = _round8(PAGE_TRIS // REC_PER_ROW + 1)
 
-# SMEM layout: top stack | page stack | code word | push word
+# SMEM layout: top stack | page stack | 2 code words | 2 push words
+# (the in-page loop pops TWO nodes per scalar sync like the resident
+# kernel's POP_K=2; the tiny top-tree loop stays single-pop)
+_PAGE_POP_K = 2
 _PSTACK = STACK_SIZE
 _S_CODE = 2 * STACK_SIZE
-_S_PUSH = 2 * STACK_SIZE + 1
-_SMEM_SLOTS = 2 * STACK_SIZE + 2
+_S_PUSH = 2 * STACK_SIZE + _PAGE_POP_K
+_SMEM_SLOTS = 2 * STACK_SIZE + 2 * _PAGE_POP_K
 
 
 def _paged_kernel(num_instances: int, with_stats: bool, uniform_o: bool,
@@ -364,16 +367,72 @@ def _paged_kernel(num_instances: int, with_stats: bool, uniform_o: bool,
             smem_ref[_PSTACK] = node0
 
             def page_body(c):
+                """TWO pops per scalar sync in-page (the resident
+                kernel's POP_K=2 pattern): both nodes' codes, records
+                and box tests are issued in one vector phase, then one
+                combined scalar stall decodes all four SMEM words."""
                 spp, state, np_, nt_ = c
-                spp, code = pop1(
-                    spp, state[0], pcode_ref, pnodef_ref, crow0, nrow0,
-                    _PSTACK,
-                )
-                packed = -code - 1
-                start = packed >> LEAF_BITS
-                count = (packed & MAX_LEAF_TRIS) * (code < 0).astype(jnp.int32)
-                state = leaf_loop(start, count, state, trow0)
-                return spp, state, np_ + 1, nt_ + count
+                t_b = state[0]
+                nodes, acts = [], []
+                spm = spp
+                for j in range(_PAGE_POP_K):
+                    acts.append((spp > j).astype(jnp.int32))
+                    nodes.append(
+                        smem_ref[_PSTACK + jnp.maximum(spp - 1 - j, 0)]
+                    )
+                    spm = spm - acts[j]
+
+                # vector phase: issue everything, read nothing
+                for j in range(_PAGE_POP_K):
+                    node = nodes[j]
+                    crow = pcode_ref[pl.ds(node // TILE_L - crow0, 1), :]
+                    smem_ref[_S_CODE + j] = jnp.sum(
+                        jnp.where(lane1 == node % TILE_L, crow, 0)
+                    )
+                    rec = fetch_record(pnodef_ref, node, nrow0)
+                    da = packet_entry(rec, 0, t_b)
+                    db = packet_entry(rec, 6, t_b)
+                    smem_ref[_S_PUSH + j] = (
+                        (da <= db).astype(jnp.int32)
+                        + 2 * (da < BIG).astype(jnp.int32)
+                        + 4 * (db < BIG).astype(jnp.int32)
+                    )
+
+                # scalar phase: farthest pop's children pushed first
+                sp_out = spm
+                leaf = []
+                pops = jnp.int32(0)
+                for j in reversed(range(_PAGE_POP_K)):
+                    node, act = nodes[j], acts[j]
+                    code = smem_ref[_S_CODE + j]
+                    is_int = ((code >= 0).astype(jnp.int32)) * act
+                    ca = node + 1
+                    cb = jnp.maximum(code, 0)
+                    w_ = smem_ref[_S_PUSH + j] * is_int
+                    a_first = 1 - (w_ & 1)
+                    pa = (w_ >> 1) & 1
+                    pb = (w_ >> 2) & 1
+                    first = jnp.where(a_first == 1, ca, cb)
+                    p_first = jnp.where(a_first == 1, pa, pb)
+                    second = jnp.where(a_first == 1, cb, ca)
+                    p_second = jnp.where(a_first == 1, pb, pa)
+                    smem_ref[_PSTACK + sp_out] = first
+                    sp_out = sp_out + p_first
+                    smem_ref[_PSTACK + sp_out] = second
+                    sp_out = sp_out + p_second
+                    packed = -code - 1
+                    leaf_flag = act - is_int
+                    leaf.append((
+                        packed >> LEAF_BITS,
+                        (packed & MAX_LEAF_TRIS) * leaf_flag,
+                    ))
+                    pops = pops + act
+
+                nt = nt_
+                for s_, c_ in leaf[::-1]:  # nearest-first
+                    state = leaf_loop(s_, c_, state, trow0)
+                    nt = nt + c_
+                return sp_out, state, np_ + pops, nt
 
             state, np_, nt_ = carry
             c = (jnp.int32(1), state, np_, nt_)
