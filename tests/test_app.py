@@ -43,6 +43,49 @@ def test_scene_colonnade_is_sponza_class():
     assert int(np.asarray(arrays.node_leaf_count).max()) < 1024
 
 
+def test_point_light_end_to_end():
+    """Point lights reach the app surface (VERDICT r2 item 7): a point
+    light inside the Cornell box lights the scene with hard shadows via
+    the public RenderConfig + whitted pipeline (raycast.cu:286-287)."""
+    from tpu_raytracer.render.integrators import PointLight
+    from tpu_raytracer.render.pipeline import render_image_whitted
+
+    arrays, cam = scenes.scene_cornell(64)
+    p = cam.ray_params()
+    base = dict(width=64, height=64, backend="bvh", light_direction=None)
+    lit_cfg = RenderConfig(
+        **base, point_lights=(PointLight(position=(1.0, 0.2, 1.6),
+                                         intensity=6.0),),
+    )
+    dark_cfg = RenderConfig(**base)
+    args = (arrays, p["K_inv"], p["D"], p["pose"], p["inv_pose"])
+    lit = np.asarray(render_image_whitted(lit_cfg, *args, 0))
+    dark = np.asarray(render_image_whitted(dark_cfg, *args, 0))
+    # the light brightens the scene above the 0.4-ambient floor...
+    assert lit.astype(int).sum() > dark.astype(int).sum() * 1.05
+    # ...and the occluding box casts a hard shadow: some pixels stay at
+    # the ambient floor while their neighbors are lit
+    assert (lit.astype(int) - dark.astype(int)).max() > 30
+
+
+def test_point_light_primary_mode():
+    """lambert_shadow primary shading also honors config.point_lights."""
+    from tpu_raytracer.render.integrators import PointLight
+
+    arrays, cam = scenes.scene_cornell(32)
+    p = cam.ray_params()
+    args = (arrays, p["K_inv"], p["D"], p["pose"], p["inv_pose"])
+    base = dict(width=32, height=32, backend="bvh",
+                lighting="lambert_shadow", light_direction=None)
+    lit_cfg = RenderConfig(
+        **base, point_lights=(PointLight(position=(1.0, 0.2, 1.6),
+                                         intensity=6.0),),
+    )
+    lit = np.asarray(render_image(lit_cfg, *args))
+    dark = np.asarray(render_image(RenderConfig(**base), *args))
+    assert lit.astype(int).sum() > dark.astype(int).sum()
+
+
 def test_orbit_matches_reference_semantics():
     pose = np.zeros(6, np.float32)
     p2 = controls.orbit(pose, dx=100, dy=50)

@@ -65,3 +65,66 @@ def test_paged_default_capacity_single_page_per_mesh():
     got = cast_rays_paged(arrays, tables, o, d, interpret=True)
     np.testing.assert_array_equal(np.asarray(got.tri), np.asarray(ref.tri))
     np.testing.assert_array_equal(np.asarray(got.t), np.asarray(ref.t))
+
+
+def test_auto_routing_beyond_budget(monkeypatch):
+    """cast_rays_pallas routes beyond-VMEM scenes to the paged kernel
+    automatically (VERDICT r2 item 2) — no silent XLA-walk fallback."""
+    import jax
+
+    import tpu_raytracer.kernels.traversal as trav
+
+    arrays, cam = _two_instance_scene()
+    o, d = _rays(cam)
+    ref = cast_rays_pallas(arrays, o, d, interpret=True)
+
+    monkeypatch.setattr(trav, "VMEM_SCENE_BUDGET", 0)
+    # eager call with no tables: builds them on the spot
+    got = trav.cast_rays_pallas(arrays, o, d, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got.tri), np.asarray(ref.tri))
+    np.testing.assert_array_equal(np.asarray(got.t), np.asarray(ref.t))
+
+    # with tables attached, the routing works inside jit too. Compare
+    # against the jitted RESIDENT kernel (same compile regime: XLA
+    # fuses the per-instance transform math differently under jit than
+    # eager — ulp-level t shifts on a handful of edge-tie rays).
+    paged_arrays = arrays.with_paging()
+    assert paged_arrays.paged is not None
+
+    @jax.jit
+    def jitted(s):
+        return trav.cast_rays_pallas(s, o, d, interpret=True)
+
+    got2 = jitted(paged_arrays)
+    monkeypatch.undo()  # restore the budget: resident path for ref2
+    ref2 = jax.jit(
+        lambda s: trav.cast_rays_pallas(s, o, d, interpret=True)
+    )(arrays)
+    np.testing.assert_array_equal(np.asarray(got2.t), np.asarray(ref2.t))
+    np.testing.assert_array_equal(np.asarray(got2.tri), np.asarray(ref2.tri))
+    monkeypatch.setattr(trav, "VMEM_SCENE_BUDGET", 0)
+
+    # inside jit WITHOUT tables: loud error, not a silent slow path
+    import pytest
+
+    with pytest.raises(ValueError, match="with_paging"):
+        jax.jit(lambda s: trav.cast_rays_pallas(s, o, d, interpret=True))(
+            arrays
+        )
+
+
+def test_paged_backend_whitted_mode():
+    """--backend paged now works for secondary-ray modes too: whitted
+    through the public pipeline matches the bvh backend bit-for-bit."""
+    from tpu_raytracer.render import RenderConfig
+    from tpu_raytracer.render.pipeline import render_image_whitted
+
+    arrays, cam = _two_instance_scene()
+    p = cam.ray_params()
+    args = (arrays.with_paging(), p["K_inv"], p["D"], p["pose"],
+            p["inv_pose"])
+    cfg = lambda b: RenderConfig(width=cam.width, height=cam.height,
+                                 backend=b)
+    a = np.asarray(render_image_whitted(cfg("paged"), *args, 1))
+    b = np.asarray(render_image_whitted(cfg("bvh"), *args, 1))
+    assert (a == b).all(), f"{(a != b).any(-1).sum()} pixels differ"

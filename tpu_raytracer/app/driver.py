@@ -18,6 +18,7 @@ import numpy as np
 
 from ..render import Camera, RenderConfig
 from ..render.pipeline import render_image
+from ..render.shade import DEFAULT_LIGHT_DIRECTION
 from ..scene import Material, MeshInstance, MeshPrimitive, Scene, objloader, procgen
 from ..utils import overlay_fps, save_png
 
@@ -61,6 +62,8 @@ def run(
     scene_name: str = "demo",
     mode: str = "primary",
     fly: bool = False,
+    point_lights: tuple = (),
+    no_sun: bool = False,
 ):
     """The render loop (kernel.cu:266-296): N timed frames, FPS printed
     per frame, final frame saved with the FPS overlay.
@@ -72,8 +75,6 @@ def run(
     """
     if backend is None:
         backend = "pallas" if jax.default_backend() == "tpu" else "bvh"
-    if backend == "paged" and mode != "primary":
-        raise ValueError("the paged backend supports --mode primary only")
 
     if scene_name == "demo":
         scene = build_demo_scene()
@@ -102,10 +103,24 @@ def run(
             if scene_name != "cube" and scene_name != "cornell" \
             else SCENES[scene_name](min(width, height))
         width, height = camera.width, camera.height
+    if backend == "paged":
+        # force-page small scenes too; big scenes already carry tables
+        # (Scene.compile auto-attaches beyond the VMEM budget)
+        arrays = arrays.with_paging()
 
     from ..render.pipeline import render_image_path_traced, render_image_whitted
 
-    config = RenderConfig(width=width, height=height, backend=backend, lighting=lighting)
+    from ..render.integrators import PointLight
+
+    plights = tuple(
+        PointLight(position=tuple(p[:3]), intensity=p[3] if len(p) > 3 else 100.0)
+        for p in point_lights
+    )
+    config = RenderConfig(
+        width=width, height=height, backend=backend, lighting=lighting,
+        light_direction=None if no_sun else DEFAULT_LIGHT_DIRECTION,
+        point_lights=plights,
+    )
     key = jax.random.PRNGKey(0)
     fps = 0.0
     angle = 0.0
@@ -126,12 +141,7 @@ def run(
         p = camera.ray_params()
         args = (config, arrays, p["K_inv"], p["D"], p["pose"], p["inv_pose"])
         if mode == "primary":
-            if backend == "paged":
-                from ..render.pipeline import render_image_paged
-
-                img = render_image_paged(*args)
-            else:
-                img = render_image(*args)
+            img = render_image(*args)
         elif mode == "whitted":
             img = render_image_whitted(*args)
         elif mode == "path":
@@ -166,12 +176,22 @@ def main():
                     help="animated camera fly-through")
     ap.add_argument("--out", default="out.png")
     ap.add_argument("--no-animate", action="store_true")
+    ap.add_argument(
+        "--point-light", action="append", default=[], metavar="X,Y,Z[,I]",
+        help="add a point light at X,Y,Z with intensity I (default 100); "
+             "repeatable (raycast.cu:286-287 realized)")
+    ap.add_argument("--no-sun", action="store_true",
+                    help="drop the directional light (point lights only)")
     args = ap.parse_args()
+    plights = tuple(
+        tuple(float(v) for v in spec.split(","))
+        for spec in args.point_light
+    )
     run(
         width=args.width, height=args.height, frames=args.frames,
         backend=args.backend, out=args.out, animate=not args.no_animate,
         lighting=args.lighting, scene_name=args.scene, mode=args.mode,
-        fly=args.fly,
+        fly=args.fly, point_lights=plights, no_sun=args.no_sun,
     )
 
 

@@ -16,16 +16,24 @@ Per-packet cost model: coherent primary packets touch few pages (the
 cut is ~2048 triangles, so an 82k-tri mesh is ~40 pages but a packet's
 frustum crosses a handful); each page entry costs one ~200KB DMA
 (~0.25us of HBM bandwidth on v5e) amortized over the whole subtree
-traversal. Traversal order and t-pruning semantics are identical to the
-main kernel (ordered near-first descent per pop, per-ray t caps), so
-hit results match the brute-force oracle exactly; only iteration
-granularity differs (single pop per sync — the top loop is a tiny
-fraction of total pops, and in-page pops use the same packed-word sync
-as the main kernel's POP_K=1 case).
+traversal — and page DMAs are DOUBLE-BUFFERED (r3): while page k's
+subtree is being traversed, the top-tree walk has already located
+portal k+1 and its three row-slice copies are in flight into the other
+buffer set, so the DMA latency hides behind in-page traversal instead
+of serializing with it. Traversal order and t-pruning semantics are
+identical to the main kernel (ordered near-first descent per pop,
+per-ray t caps), so hit results match the brute-force oracle exactly;
+only iteration granularity differs (the tiny top loop is single-pop;
+in-page pops use the resident kernel's POP_K=2 packed-word sync).
+The one semantic delta from single-buffering: portal k+1 is chosen
+(box-tested) before page k's leaf hits can tighten t_best, so a page
+that would have been pruned may still be visited — extra DMAs only,
+never wrong results (in-page tests still use live per-ray t caps).
 
-Scene-size limit: leaf control words pack global triangle start * 1024
-+ count (LEAF_BITS), capping paged scenes at 2^21 = 2M triangles; the
-builder raises beyond that.
+Scene-size limit: in-page leaf control words pack PAGE-LOCAL triangle
+starts (global start - page_tri0, rebuilt in prepare_paged), so the
+10-bit count field caps leaves, not scenes; triangle/node ids are i32,
+capping paged scenes at 2^28 triangles (far beyond HBM capacity).
 """
 
 from __future__ import annotations
@@ -313,7 +321,9 @@ def _paged_kernel(num_instances: int, with_stats: bool, uniform_o: bool,
         def leaf_loop(start, count, st, trow0):
             """One shared page-buffer row load per 8-triangle group
             (leaf starts are 8-aligned, scene.py leaf layout) — same
-            scheme as the resident kernel's leaf_loop."""
+            scheme as the resident kernel's leaf_loop. ``trow0`` is the
+            page's base triangle row MINUS the slot offset, so the same
+            subtraction addresses either buffer half."""
 
             def quad_body(q, acc):
                 t_b, tri_b, in_b = acc
@@ -337,32 +347,46 @@ def _paged_kernel(num_instances: int, with_stats: bool, uniform_o: bool,
             n_quads = (count + LEAF_UNROLL - 1) // LEAF_UNROLL
             return jax.lax.fori_loop(0, n_quads, quad_body, st)
 
-        def run_page(pid, carry):
-            """DMA page ``pid`` into the VMEM buffers and traverse its
-            subtree (global node ids throughout)."""
+        def _page_copies(pid, slot):
+            """The three HBM->VMEM row-slice copies for page ``pid``
+            into buffer half ``slot``. Reconstructed at wait sites too:
+            the descriptors are equivalent for semaphore accounting
+            (static shapes, same per-slot semaphores)."""
             node0 = page_tab_ref[pid, 0]
             tri0 = page_tab_ref[pid, 1]
             crow0 = node0 // TILE_L
             nrow0 = node0 // REC_PER_ROW
             trow0 = tri0 // REC_PER_ROW
-            cdma = pltpu.make_async_copy(
-                gcode_ref.at[pl.ds(crow0, CODE_ROWS), :], pcode_ref,
-                sem_ref.at[0],
+            return (
+                pltpu.make_async_copy(
+                    gcode_ref.at[pl.ds(crow0, CODE_ROWS), :],
+                    pcode_ref.at[pl.ds(slot * CODE_ROWS, CODE_ROWS), :],
+                    sem_ref.at[slot, 0],
+                ),
+                pltpu.make_async_copy(
+                    gnodef_ref.at[pl.ds(nrow0, NODE_ROWS), :],
+                    pnodef_ref.at[pl.ds(slot * NODE_ROWS, NODE_ROWS), :],
+                    sem_ref.at[slot, 1],
+                ),
+                pltpu.make_async_copy(
+                    gtrif_ref.at[pl.ds(trow0, TRI_ROWS), :],
+                    ptrif_ref.at[pl.ds(slot * TRI_ROWS, TRI_ROWS), :],
+                    sem_ref.at[slot, 2],
+                ),
             )
-            ndma = pltpu.make_async_copy(
-                gnodef_ref.at[pl.ds(nrow0, NODE_ROWS), :], pnodef_ref,
-                sem_ref.at[1],
-            )
-            tdma = pltpu.make_async_copy(
-                gtrif_ref.at[pl.ds(trow0, TRI_ROWS), :], ptrif_ref,
-                sem_ref.at[2],
-            )
-            cdma.start()
-            ndma.start()
-            tdma.start()
-            cdma.wait()
-            ndma.wait()
-            tdma.wait()
+
+        def traverse_page(pid, slot, carry):
+            """Traverse page ``pid``'s subtree from buffer half ``slot``
+            (its DMA already waited). Node ids stay GLOBAL; triangle
+            starts in the page's control words are PAGE-LOCAL and
+            rebased by + tri0 at decode."""
+            node0 = page_tab_ref[pid, 0]
+            tri0 = page_tab_ref[pid, 1]
+            # fold the slot offset into the base-row subtraction so all
+            # in-page fetches address the right buffer half
+            crow0 = node0 // TILE_L - slot * CODE_ROWS
+            nrow0 = node0 // REC_PER_ROW - slot * NODE_ROWS
+            trow0 = tri0 // REC_PER_ROW - slot * TRI_ROWS
 
             smem_ref[_PSTACK] = node0
 
@@ -422,8 +446,11 @@ def _paged_kernel(num_instances: int, with_stats: bool, uniform_o: bool,
                     sp_out = sp_out + p_second
                     packed = -code - 1
                     leaf_flag = act - is_int
+                    # page-local start -> global (tri ids in the hit
+                    # record stay global; this is what lifts the old
+                    # 2^21-triangle global-start cap)
                     leaf.append((
-                        packed >> LEAF_BITS,
+                        (packed >> LEAF_BITS) + tri0,
                         (packed & MAX_LEAF_TRIS) * leaf_flag,
                     ))
                     pops = pops + act
@@ -439,24 +466,58 @@ def _paged_kernel(num_instances: int, with_stats: bool, uniform_o: bool,
             c = jax.lax.while_loop(lambda c: c[0] > 0, page_body, c)
             return c[1], c[2], c[3]
 
-        def top_body(c):
-            sp, state, np_, nt_ = c
-            sp, code = pop1(sp, state[0], tcode_ref, tnodef_ref, 0, 0, 0)
-            pid = -code - 1
-            state, np_, nt_ = jax.lax.cond(
-                code < 0,
-                run_page,
-                lambda _pid, carry: carry,
-                pid,
-                (state, np_ + 1, nt_),
-            )
-            return sp, state, np_, nt_
+        def next_portal(sp, t_b, np_):
+            """Walk the top tree (single-pop syncs — it is tiny) until
+            the next portal leaf pops or the stack empties. Returns
+            (sp', page id or -1, pop count)."""
 
+            def cond(c):
+                return (c[0] > 0) & (c[1] < 0)
+
+            def body(c):
+                sp, _, np_ = c
+                sp, code = pop1(sp, t_b, tcode_ref, tnodef_ref, 0, 0, 0)
+                pid = jnp.where(code < 0, -code - 1, jnp.int32(-1))
+                return sp, pid, np_ + 1
+
+            return jax.lax.while_loop(
+                cond, body, (sp, jnp.int32(-1), np_)
+            )
+
+        # --- double-buffered page pipeline -----------------------------
+        # Find portal k+1 and launch its DMAs into the other buffer half
+        # BEFORE traversing page k, so the copies ride under the in-page
+        # traversal. Portal selection uses the t_best at selection time
+        # (conservative superset — see module docstring).
         root = inst_root_ref[i]
         smem_ref[0] = root
-        carry = (jnp.int32(1), best, n_pops, n_tests)
-        carry = jax.lax.while_loop(lambda c: c[0] > 0, top_body, carry)
-        _, best, n_pops, n_tests = carry
+        sp0, pid0, n_pops = next_portal(jnp.int32(1), best[0], n_pops)
+
+        @pl.when(pid0 >= 0)
+        def _():
+            for cp in _page_copies(pid0, jnp.int32(0)):
+                cp.start()
+
+        def outer_body(c):
+            sp, pid_cur, slot, state, np_, nt_ = c
+            # locate the NEXT portal while pid_cur's DMAs are in flight
+            sp, pid_next, np_ = next_portal(sp, state[0], np_)
+            for cp in _page_copies(pid_cur, slot):
+                cp.wait()
+
+            @pl.when(pid_next >= 0)
+            def _():
+                for cp in _page_copies(pid_next, 1 - slot):
+                    cp.start()
+
+            state, np_, nt_ = traverse_page(
+                pid_cur, slot, (state, np_, nt_)
+            )
+            return sp, pid_next, 1 - slot, state, np_, nt_
+
+        carry = (sp0, pid0, jnp.int32(0), best, n_pops, n_tests)
+        carry = jax.lax.while_loop(lambda c: c[1] >= 0, outer_body, carry)
+        _, _, _, best, n_pops, n_tests = carry
 
     t_b, tri_b, in_b = best
     t_out_ref[0] = jnp.where(t_b >= BIG, _FLT_MAX, t_b)
@@ -497,7 +558,11 @@ def _pad_rows(a: jax.Array, rows: int, fill) -> jax.Array:
     )
 
 
+# Small LRU (insertion-ordered dict): each entry pins the scene's
+# node_child_a plus full HBM copies of the packed tables, so an
+# unbounded cache would leak device memory across many distinct scenes.
 _PAGE_CACHE: dict = {}
+_PAGE_CACHE_MAX = 4
 
 
 def prepare_paged(scene: SceneArrays, page_tris: int = PAGE_TRIS,
@@ -514,11 +579,12 @@ def prepare_paged(scene: SceneArrays, page_tris: int = PAGE_TRIS,
     key = (id(scene.node_child_a), page_tris, page_nodes)
     hit = _PAGE_CACHE.get(key)
     if hit is not None and hit[0] is scene.node_child_a:
+        _PAGE_CACHE[key] = _PAGE_CACHE.pop(key)  # refresh LRU order
         return hit[1]
 
-    if scene.num_triangles * LEAF_SHIFT >= 2 ** 31:
+    if scene.num_triangles >= 2 ** 28:
         raise ValueError(
-            "paged traversal caps at 2^21 triangles (10-bit leaf words)"
+            "paged traversal caps at 2^28 triangles (i32 ids)"
         )
     pt = build_page_table(
         np.asarray(scene.node_min),
@@ -536,6 +602,30 @@ def prepare_paged(scene: SceneArrays, page_tris: int = PAGE_TRIS,
     # hundreds of CPU ops (~35s at 1.28M tris); one compiled program
     # takes ~1s
     (_, _), (code_arr, nodef), (trif,) = jax.jit(_scene_kernel_inputs)(scene)
+
+    # Rebase leaf control words to PAGE-LOCAL triangle starts: local
+    # offsets fit the packed word at any scene size, unlike global
+    # starts (the old 2^21-triangle cap). Each node's owning page is
+    # the last page starting at or before it — valid for every in-page
+    # node by subtree contiguity; above-cut nodes get garbage values
+    # but are only ever traversed via the top tree.
+    code_flat = np.asarray(code_arr).ravel().copy()
+    n_nodes = scene.node_child_a.shape[0]
+    codes = code_flat[:n_nodes]
+    leaf_ids = np.nonzero(codes < 0)[0]
+    packed = -codes[leaf_ids].astype(np.int64) - 1
+    g_start = packed >> LEAF_BITS
+    count = packed & MAX_LEAF_TRIS
+    pidx = np.searchsorted(pt.page_node0, leaf_ids, side="right") - 1
+    if (pidx < 0).any():
+        raise AssertionError("leaf node precedes the first page")
+    local = g_start - pt.page_tri0[pidx]
+    if (local < 0).any() or (local >= page_tris + LEAF_UNROLL).any():
+        raise AssertionError("page-local leaf start out of range")
+    code_flat[leaf_ids] = (-(local * LEAF_SHIFT + count) - 1).astype(
+        np.int32
+    )
+    code_arr = jnp.asarray(code_flat.reshape(np.asarray(code_arr).shape))
 
     fields = []
     for c in range(2):
@@ -558,6 +648,8 @@ def prepare_paged(scene: SceneArrays, page_tris: int = PAGE_TRIS,
         gnodef=_pad_rows(nodef, NODE_ROWS, 0.0),
         gtrif=_pad_rows(trif, TRI_ROWS, 0.0),
     )
+    while len(_PAGE_CACHE) >= _PAGE_CACHE_MAX:
+        _PAGE_CACHE.pop(next(iter(_PAGE_CACHE)))
     _PAGE_CACHE[key] = (scene.node_child_a, tables)
     return tables
 
@@ -632,10 +724,11 @@ def _run_paged(scene: SceneArrays, tables: PagedTables, tiled, interpret,
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.SMEM((_SMEM_SLOTS,), jnp.int32),
-            pltpu.VMEM((CODE_ROWS, TILE_L), jnp.int32),
-            pltpu.VMEM((NODE_ROWS, TILE_L), jnp.float32),
-            pltpu.VMEM((TRI_ROWS, TILE_L), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            # double-buffered page slices: halves [0, R) and [R, 2R)
+            pltpu.VMEM((2 * CODE_ROWS, TILE_L), jnp.int32),
+            pltpu.VMEM((2 * NODE_ROWS, TILE_L), jnp.float32),
+            pltpu.VMEM((2 * TRI_ROWS, TILE_L), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,

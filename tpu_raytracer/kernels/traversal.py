@@ -998,11 +998,30 @@ def cast_rays_pallas(scene: SceneArrays, origin, directions, interpret=None,
     ``frustum`` selects the packet-interval box test (A/B option, off by
     default — see _frustum_default) and ``bf16_box`` the conservative
     bf16 slab test; TRT_FRUSTUM=1 / TRT_BF16_BOX=1 flip the defaults.
+
+    Scenes whose packed tables exceed the VMEM budget route to the
+    HBM-paged packet kernel automatically (kernels/paged.py) — the
+    tables ride on ``scene.paged`` (attached by Scene.compile) or are
+    built on the spot when the call is eager.
     """
-    from ..render.renderer import Hit, cast_rays_bvh  # local: avoids cycle
+    from ..render.renderer import Hit  # local: avoids cycle
 
     if _scene_vmem_bytes(scene) > VMEM_SCENE_BUDGET:
-        return cast_rays_bvh(scene, origin, directions)
+        from .paged import cast_rays_paged, prepare_paged
+
+        tables = scene.paged
+        if tables is None:
+            if isinstance(scene.node_child_a, jax.core.Tracer):
+                raise ValueError(
+                    "scene exceeds the resident kernel's VMEM budget and "
+                    "has no paging tables; attach them before jit with "
+                    "scene.with_paging() (Scene.compile does this "
+                    "automatically)"
+                )
+            tables = prepare_paged(scene)
+        return cast_rays_paged(
+            scene, tables, origin, directions, interpret=interpret
+        )
     if interpret is None:
         interpret = not _on_tpu()
     if frustum is None:

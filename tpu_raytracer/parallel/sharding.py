@@ -41,6 +41,7 @@ def _shard_body(config: RenderConfig, scene: SceneArrays, origin, directions):
     return shade_primary(
         scene, attrs, config.light_direction, config.lighting,
         exact=config.exact_math, backend=config.backend,
+        directions=directions, point_lights=config.point_lights,
     )
 
 
@@ -82,6 +83,10 @@ def render_image_sharded(
         mesh=mesh,
         in_specs=(P(), P(axis, None, None), P(axis, None, None)),
         out_specs=P(axis, None, None),
+        # check_vma off: the body is embarrassingly parallel (no
+        # collectives), and vma inference rejects lax.while_loop /
+        # pallas_call carries whose init is unvarying
+        check_vma=False,
     )(scene, origin_b, directions)
     return img
 
@@ -92,7 +97,7 @@ def _whitted_body(config: RenderConfig, bounces, scene, origin, directions):
     return to_u8(render_whitted(
         scene, origin, directions, max_bounces=bounces,
         backend=config.backend, light_direction=config.light_direction,
-        exact=config.exact_math,
+        point_lights=config.point_lights, exact=config.exact_math,
     ))
 
 
@@ -127,6 +132,10 @@ def render_image_whitted_sharded(
         mesh=mesh,
         in_specs=(P(), P(axis, None, None), P(axis, None, None)),
         out_specs=P(axis, None, None),
+        # check_vma off: the body is embarrassingly parallel (no
+        # collectives), and vma inference rejects lax.while_loop /
+        # pallas_call carries whose init is unvarying
+        check_vma=False,
     )(scene, origin_b, directions)
 
 
@@ -176,4 +185,5 @@ def render_image_path_traced_sharded(
         mesh=mesh,
         in_specs=(P(), P(axis, None, None), P(axis, None, None), P(axis)),
         out_specs=P(axis, None, None),
+        check_vma=False,  # see render_image_sharded
     )(scene, origin_b, directions, keys)

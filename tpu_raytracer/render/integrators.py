@@ -71,21 +71,12 @@ def _direct_illumination(
             lit = occ.t >= FLT_MAX
             cos_i = jnp.where(lit, cos_i, 0.4 * cos_i)
         illum = illum + cos_i
-    for light in point_lights:
-        lpos = jnp.asarray(light.position, jnp.float32)
-        to_light = lpos - attrs.location
-        dist = jnp.sqrt(jnp.sum(to_light * to_light, -1))
-        ldir = to_light / jnp.maximum(dist, 1e-8)[..., None]
-        cos_i = jnp.maximum(dot(attrs.normal, ldir), 0.0)
-        falloff = light.intensity / jnp.maximum(dist * dist, 1e-8)
-        if shadows:
-            occ = cast(scene, *_park(
-                attrs.location + ldir * SHADOW_EPS, ldir, attrs.hit
-            ))
-            # occluded only if a hit lies between the point and the light
-            lit = occ.t >= dist
-            cos_i = jnp.where(lit, cos_i, 0.0)
-        illum = illum + cos_i * falloff
+    if point_lights:
+        from .shade import point_light_illumination
+
+        illum = illum + point_light_illumination(
+            scene, attrs, point_lights, cast=cast if shadows else None
+        )
     return illum
 
 

@@ -30,6 +30,11 @@ class RenderConfig:
     lighting: str = "flat"  # flat | lambert | lambert_shadow | blinn_phong
     light_direction: tuple = DEFAULT_LIGHT_DIRECTION
     exact_math: bool = True  # False = reference Q_rsqrt normalize parity
+    # Point lights (tuple of integrators.PointLight — frozen/hashable,
+    # so the config stays a valid jit static arg). The reference sketch:
+    # cast_toward_lights, raycast.cu:286-287. Used by the whitted path;
+    # set light_direction=None to render with point lights alone.
+    point_lights: tuple = ()
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -52,32 +57,7 @@ def render_image(
     return shade_primary(
         scene, attrs, config.light_direction, config.lighting,
         exact=config.exact_math, backend=config.backend,
-        directions=directions,
-    )
-
-
-@functools.partial(jax.jit, static_argnums=(0,))
-def _render_image_paged_jit(
-    config: RenderConfig,
-    scene: SceneArrays,
-    tables,
-    K_inv: jax.Array,
-    D: jax.Array,
-    pose: jax.Array,
-    inv_pose: jax.Array,
-) -> jax.Array:
-    from ..kernels.paged import cast_rays_paged
-
-    origin, directions = generate_rays(
-        config.width, config.height, K_inv, D, pose, inv_pose,
-        exact=config.exact_math,
-    )
-    hit = cast_rays_paged(scene, tables, origin, directions)
-    attrs = hit_attributes(scene, origin, directions, hit, exact=config.exact_math)
-    return shade_primary(
-        scene, attrs, config.light_direction, config.lighting,
-        exact=config.exact_math, backend="pallas",
-        directions=directions,
+        directions=directions, point_lights=config.point_lights,
     )
 
 
@@ -89,16 +69,18 @@ def render_image_paged(
     pose: jax.Array,
     inv_pose: jax.Array,
 ) -> jax.Array:
-    """Primary render via the HBM-paged packet kernel (beyond-VMEM
-    scenes; kernels/paged.py). The page partition is value-dependent
-    host work, so this wrapper prepares (and caches) it EAGERLY and
-    passes the resulting pytree through the jit boundary — call with
-    concrete scene arrays, not from inside another jit."""
-    from ..kernels.paged import prepare_paged
+    """Primary render FORCING the HBM-paged packet kernel
+    (kernels/paged.py). The page partition is value-dependent host
+    work, so this wrapper attaches it EAGERLY (scene.with_paging) and
+    the tables ride the scene pytree through the jit boundary — call
+    with concrete scene arrays, not from inside another jit.
 
-    tables = prepare_paged(scene)
-    return _render_image_paged_jit(
-        config, scene, tables, K_inv, D, pose, inv_pose
+    Note big scenes no longer need this entry point: Scene.compile
+    auto-attaches paging tables beyond the VMEM budget, and the
+    ``pallas`` backend routes to the paged kernel automatically."""
+    cfg = dataclasses.replace(config, backend="paged")
+    return render_image(
+        cfg, scene.with_paging(), K_inv, D, pose, inv_pose
     )
 
 
@@ -132,7 +114,8 @@ def render_image_whitted(
     radiance = render_whitted(
         scene, origin, directions,
         max_bounces=max_bounces, backend=config.backend,
-        light_direction=config.light_direction, shadows=shadows,
+        light_direction=config.light_direction,
+        point_lights=config.point_lights, shadows=shadows,
         exact=config.exact_math,
     )
     return to_u8(radiance)

@@ -281,9 +281,28 @@ CAST_FNS = {
 }
 
 
+def _cast_rays_paged_auto(scene: SceneArrays, origin, directions) -> Hit:
+    """Force the HBM-paged packet kernel regardless of scene size
+    (cast_rays_pallas already routes big scenes there automatically —
+    this backend exists for A/B and for forcing paging on small scenes).
+    Tables come from scene.paged or are built eagerly."""
+    from ..kernels.paged import cast_rays_paged, prepare_paged
+
+    tables = scene.paged
+    if tables is None:
+        if isinstance(scene.node_child_a, jax.core.Tracer):
+            raise ValueError(
+                "paged backend inside jit needs scene.with_paging() first"
+            )
+        tables = prepare_paged(scene)
+    return cast_rays_paged(scene, tables, origin, directions)
+
+
 def get_cast_fn(backend: str):
     if backend == "pallas":
         from ..kernels.traversal import cast_rays_pallas
 
         return cast_rays_pallas
+    if backend == "paged":
+        return _cast_rays_paged_auto
     return CAST_FNS[backend]

@@ -29,6 +29,34 @@ SHADOW_EPS = jnp.float32(1e-4)  # raycast.cu:259
 DEFAULT_LIGHT_DIRECTION = (-0.2, 0.0, 1.0)  # raycast.cu:249
 
 
+def point_light_illumination(
+    scene: SceneArrays, attrs, point_lights, cast=None
+) -> jax.Array:
+    """Summed point-light contribution at the hit points — the
+    reference's cast_toward_lights sketch (raycast.cu:286-287):
+    inverse-square falloff, cosine weighting, and (when ``cast`` is
+    given) a hard shadow ray per light that checks for occluders
+    BETWEEN the surface point and the light."""
+    from .sorted_cast import park_dead_rays as _park
+
+    illum = jnp.zeros(attrs.t.shape, jnp.float32)
+    for light in point_lights:
+        lpos = jnp.asarray(light.position, jnp.float32)
+        to_light = lpos - attrs.location
+        dist = jnp.sqrt(jnp.sum(to_light * to_light, -1))
+        ldir = to_light / jnp.maximum(dist, 1e-8)[..., None]
+        cos_i = jnp.maximum(dot(attrs.normal, ldir), 0.0)
+        falloff = light.intensity / jnp.maximum(dist * dist, 1e-8)
+        if cast is not None:
+            occ = cast(scene, *_park(
+                attrs.location + ldir * SHADOW_EPS, ldir, attrs.hit
+            ))
+            lit = occ.t >= dist
+            cos_i = jnp.where(lit, cos_i, 0.0)
+        illum = illum + cos_i * falloff
+    return illum
+
+
 def _c_mod(a: jax.Array, b: jax.Array) -> jax.Array:
     """C-style truncating integer modulo (negative stays negative), as
     produced by the reference's ``%`` (raycast.cu:229-230)."""
@@ -64,22 +92,18 @@ def _sample_texture_vals(scene, start, w, h, uv) -> jax.Array:
 def surface_color(scene: SceneArrays, attrs: HitAttributes) -> jax.Array:
     """Texture sample where textured, else albedo (raycast.cu:224-245).
     Multiplied against the ray color (init (1,1,1), Ray.hpp:21).
-    One packed [K, 6] material gather instead of four (tex start/w/h
-    fit f32 exactly at any plausible atlas size)."""
-    mpack = jnp.concatenate(
-        [
-            scene.mat_albedo,
-            scene.mat_tex_start.astype(jnp.float32)[:, None],
-            scene.mat_tex_w.astype(jnp.float32)[:, None],
-            scene.mat_tex_h.astype(jnp.float32)[:, None],
-        ],
-        axis=1,
+    Two packed gathers instead of four: one [K, 3] f32 albedo gather and
+    one [K, 3] i32 gather for (tex_start, w, h) — the integer fields
+    stay i32 end-to-end, so atlas offsets past 2^24 texels (a single
+    4096x4096 texture is 16.78M) never round through f32."""
+    alb = scene.mat_albedo[attrs.material]
+    ipack = jnp.stack(
+        [scene.mat_tex_start, scene.mat_tex_w, scene.mat_tex_h], axis=1
     )
-    m = mpack[attrs.material]
-    alb = m[..., 0:3]
-    start = m[..., 3].astype(jnp.int32)
-    w = m[..., 4].astype(jnp.int32)
-    h = m[..., 5].astype(jnp.int32)
+    mi = ipack[attrs.material]
+    start = mi[..., 0]
+    w = mi[..., 1]
+    h = mi[..., 2]
     tex = _sample_texture_vals(scene, start, w, h, attrs.uv)
     return jnp.where((start >= 0)[..., None], tex, alb)
 
@@ -98,6 +122,7 @@ def compute_illumination(
     exact: bool = True,
     backend: str = "bvh",
     directions=None,
+    point_lights: tuple = (),
 ) -> jax.Array:
     """Scalar illumination per ray.
 
@@ -108,12 +133,19 @@ def compute_illumination(
     properly. ``blinn_phong``: lambert plus a half-vector specular lobe
     (BASELINE config 3; needs ``directions`` = the primary ray
     directions for the view vector). All modes end with the reference
-    clamp.
+    clamp. ``point_lights`` add inverse-square point-light terms in the
+    non-flat modes (shadowed in ``lambert_shadow``);
+    ``light_direction=None`` drops the directional sun entirely.
     """
-    light_dir = normalize(jnp.asarray(light_direction, jnp.float32), exact=exact)
     if mode == "flat":
         illum = jnp.ones(attrs.t.shape, jnp.float32)
+    elif light_direction is None:
+        cos_illum = jnp.zeros(attrs.t.shape, jnp.float32)
+        illum = cos_illum
     else:
+        light_dir = normalize(
+            jnp.asarray(light_direction, jnp.float32), exact=exact
+        )
         cos_illum = dot(attrs.normal, light_dir)
         illum = jnp.maximum(cos_illum, 0.0)
         if mode == "blinn_phong":
@@ -141,6 +173,16 @@ def compute_illumination(
             illum = jnp.where(lit, cos_illum, 0.4 * cos_illum)
         elif mode != "lambert":
             raise ValueError(f"unknown lighting mode: {mode}")
+    if point_lights and mode != "flat":
+        if mode == "lambert_shadow":
+            from .sorted_cast import secondary_cast_fn
+
+            pcast = secondary_cast_fn(get_cast_fn(backend), backend)
+        else:
+            pcast = None
+        illum = illum + point_light_illumination(
+            scene, attrs, point_lights, cast=pcast
+        )
     illum = jnp.minimum(1.0, illum)  # raycast.cu:289
     illum = jnp.maximum(0.4, illum)  # raycast.cu:290
     return illum
@@ -154,13 +196,14 @@ def shade_primary(
     exact: bool = True,
     backend: str = "bvh",
     directions=None,
+    point_lights: tuple = (),
 ) -> jax.Array:
     """Full primary-hit shade -> uint8 image in the reference's channel
     order. Misses get the sky color (raycast.cu:208-216)."""
     color = surface_color(scene, attrs)
     illum = compute_illumination(
         scene, attrs, light_direction, mode, exact=exact, backend=backend,
-        directions=directions,
+        directions=directions, point_lights=point_lights,
     )
     rgb = illum[..., None] * color * jnp.float32(255.0)
     shaded = rgb.astype(jnp.uint8)  # C-cast truncation (raycast.cu:292-294)

@@ -74,10 +74,19 @@ def _cached_bvh_build(v0, v1, v2, max_depth, min_leaf_size, builder, num):
             os.unlink(fp)
     bvh = build()
     os.makedirs(os.path.dirname(fp), exist_ok=True)
-    np.savez_compressed(
-        fp, **{f.name: getattr(bvh, f.name)
-               for f in dataclasses.fields(bvh)}
-    )
+    # write-to-tmp + atomic rename: a concurrent reader never sees a
+    # partially written archive, and two writers can't interleave
+    # keep the .npz suffix: np.savez appends it to other extensions
+    tmp = fp[:-4] + f".tmp.{os.getpid()}.npz"
+    try:
+        np.savez_compressed(
+            tmp, **{f.name: getattr(bvh, f.name)
+                    for f in dataclasses.fields(bvh)}
+        )
+        os.replace(tmp, fp)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
     return bvh
 
 

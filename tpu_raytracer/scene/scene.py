@@ -75,6 +75,13 @@ class SceneArrays:
     mat_tex_h: jax.Array  # [K] i32
     # Texture atlas
     tex_atlas: jax.Array  # [P] i32, one packed r|g<<8|b<<16 texel each
+    # HBM-paging tables (kernels/paged.py PagedTables) for beyond-VMEM
+    # scenes, attached by Scene.compile / ensure_paged. Riding inside
+    # the scene pytree lets the paged tables cross every jit boundary
+    # with the scene, so cast_rays_pallas can route big scenes to the
+    # paged kernel AUTOMATICALLY in every render mode (the reference
+    # never degrades either — everything resident, Scene.cpp:41-64).
+    paged: object | None = None
 
     @property
     def num_triangles(self) -> int:
@@ -103,6 +110,7 @@ class SceneArrays:
         arrays = {
             f.name: np.asarray(getattr(self, f.name))
             for f in dataclasses.fields(self)
+            if f.name != "paged"  # derived; rebuilt on demand after load
         }
         np.savez_compressed(fp, **arrays)
 
@@ -110,6 +118,23 @@ class SceneArrays:
     def load(cls, fp: str) -> "SceneArrays":
         with np.load(fp) as data:
             return cls(**{k: jnp.asarray(data[k]) for k in data.files})
+
+    def with_paging(self) -> "SceneArrays":
+        """Attach the HBM-paging tables (idempotent eager host work —
+        call with concrete arrays, outside jit)."""
+        from ..kernels.paged import prepare_paged
+
+        if self.paged is not None:
+            return self
+        base = dataclasses.replace(self, paged=None)
+        return dataclasses.replace(self, paged=prepare_paged(base))
+
+    def needs_paging(self) -> bool:
+        """True when the packed tables exceed the resident kernel's
+        VMEM budget (shape-only check — works on tracers too)."""
+        from ..kernels.traversal import VMEM_SCENE_BUDGET, _scene_vmem_bytes
+
+        return _scene_vmem_bytes(self) > VMEM_SCENE_BUDGET
 
 
 class Scene:
@@ -190,6 +215,7 @@ class Scene:
 
     def compile(self, box_pad_ulp: float = 2.0 ** -21,
                 flatten_static: bool = False,
+                auto_page: bool = True,
                 _tri_mat: np.ndarray | None = None) -> SceneArrays:
         """Flatten to SceneArrays (the upload_to_device analog,
         Scene.cpp:25-65).
@@ -210,7 +236,7 @@ class Scene:
         if flatten_static:
             flat, tri_mat_src = self.flattened()
             return flat.compile(box_pad_ulp=box_pad_ulp,
-                                _tri_mat=tri_mat_src)
+                                auto_page=auto_page, _tri_mat=tri_mat_src)
 
         # --- triangles + BVH nodes, concatenated with offsets ---
         tri_parts = {k: [] for k in ("v0", "v1", "v2", "normal", "uv0", "uv1", "uv2")}
@@ -329,7 +355,7 @@ class Scene:
             node_parts["min"] = [mn - pad]
             node_parts["max"] = [mx + pad]
 
-        return SceneArrays(
+        arrays = SceneArrays(
             tri_v0=f32(cat(tri_parts["v0"])),
             tri_v1=f32(cat(tri_parts["v1"])),
             tri_v2=f32(cat(tri_parts["v2"])),
@@ -362,3 +388,10 @@ class Scene:
             mat_tex_h=i32(tex_h),
             tex_atlas=jnp.asarray(atlas, jnp.int32),
         )
+        # Beyond-VMEM scenes get their HBM-paging tables attached at
+        # compile time, so EVERY render mode routes to the paged packet
+        # kernel automatically (no flags, no slow fallback) — parity
+        # with the reference's never-degrades residency (Scene.cpp:41-64).
+        if auto_page and arrays.needs_paging():
+            arrays = arrays.with_paging()
+        return arrays
