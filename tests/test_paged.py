@@ -8,6 +8,7 @@ brute-force oracle images must match.
 """
 
 import numpy as np
+import pytest
 
 from tpu_raytracer.accel.paging import build_page_table
 from tpu_raytracer.kernels.paged import cast_rays_paged, prepare_paged
@@ -15,6 +16,14 @@ from tpu_raytracer.kernels.traversal import cast_rays_pallas
 from tpu_raytracer.render.camera import generate_rays
 
 from test_pallas_interpret import _two_instance_scene
+
+
+@pytest.fixture(autouse=True)
+def _linear_kernel(monkeypatch):
+    # These tests pin BIT-exact equality between the paged and resident
+    # LINEAR kernels; the TLAS variant matches only to ~2 ulps of t
+    # (cross-program FMA contraction; test_tlas.py has its own oracle).
+    monkeypatch.setenv("TRT_TLAS", "0")
 
 
 def _rays(cam):

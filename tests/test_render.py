@@ -153,3 +153,45 @@ def test_blinn_phong_adds_specular():
     b = np.asarray(render(cam, arrays, lighting="blinn_phong", **kw))
     assert (b.astype(int) >= a.astype(int)).all()
     assert (b != a).any(), "no specular highlight anywhere"
+
+
+def test_edge_eps_overhang_bounded():
+    """Pin the EDGE_EPS visible-artifact bound (intersect.py:41): the
+    inclusive barycentric slack accepts hits at most ~EDGE_EPS edge
+    lengths outside a triangle, so a glancing ray passing a LARGE
+    triangle's edge by more than that must still miss, while rays
+    safely inside must hit — on every backend."""
+    import jax.numpy as jnp
+
+    from tpu_raytracer.render.intersect import EDGE_EPS
+    from tpu_raytracer.render.renderer import cast_rays_brute, cast_rays_bvh
+    from tpu_raytracer.scene import Material, MeshInstance, MeshPrimitive, Scene
+
+    # one big triangle in the y=0 plane, edges ~100 units: the world
+    # overhang bound is EDGE_EPS * 100 = 0.1 units along the x edge
+    scene = Scene()
+    scene.add_material(Material())
+    v0 = np.array([[0.0, 0.0, 0.0]], np.float32)
+    v1 = np.array([[100.0, 0.0, 0.0]], np.float32)  # winding: normal -y
+    v2 = np.array([[0.0, 0.0, 100.0]], np.float32)
+    scene.add_mesh(MeshPrimitive.from_triangles(v0, v1, v2))
+    scene.add_mesh_instance(MeshInstance(0, 0))
+    arrays = scene.compile()
+
+    bound = EDGE_EPS * 100.0
+    origin = np.array([0.0, -10.0, 0.0], np.float32)
+    # rays through y=0 at x positions straddling the x=0 edge (z=50,
+    # mid-edge, far from vertices): outside by 3x the bound -> miss;
+    # inside by 3x the bound -> hit
+    xs = np.array([-3.0 * bound, -1.5 * bound, 1.5 * bound, 3.0 * bound],
+                  np.float32)
+    targets = np.stack(
+        [xs, np.zeros_like(xs), np.full_like(xs, 50.0)], axis=-1
+    )
+    d = targets - origin
+    d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    for cast in (cast_rays_brute, cast_rays_bvh):
+        hit = cast(arrays, jnp.asarray(origin), jnp.asarray(d))
+        t = np.asarray(hit.t)
+        assert (t[:2] >= 3e38).all(), f"{cast.__name__}: overhang beyond bound"
+        assert (t[2:] < 3e38).all(), f"{cast.__name__}: interior ray missed"

@@ -29,15 +29,19 @@ scheme of the main kernel unchanged.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
 
 # Page capacities (rows are 128 lanes x 4 bytes). With min_leaf 16 a
 # 2048-triangle subtree has ~300 nodes, so PAGE_NODES rarely binds; the
 # VMEM cost per buffered page is TRI_ROWS + NODE_ROWS + CODE_ROWS
-# ~ (257 + 129 + 9) rows ~ 200KB.
-PAGE_TRIS = 2048
-PAGE_NODES = 1024
+# ~ (257 + 129 + 9) rows ~ 200KB (x2 for the double buffer).
+# TRT_PAGE_TRIS/TRT_PAGE_NODES override for page-size sweeps: the r3
+# 1.28M-tri A/B showed per-page fixed cost (portal walk + DMA switch)
+# dominating at 903 pages, so bigger pages amortize better.
+PAGE_TRIS = int(os.environ.get("TRT_PAGE_TRIS", "2048"))
+PAGE_NODES = int(os.environ.get("TRT_PAGE_NODES", str(max(PAGE_TRIS // 2, 1024))))
 
 
 @dataclasses.dataclass(frozen=True)

@@ -109,6 +109,39 @@ def scene_instances(width: int = 512, height: int = 512,
     return scene.compile(flatten_static=flatten), cam
 
 
+def scene_instances16(width: int = 512, height: int = 512, n: int = 16,
+                      flatten: bool = False):
+    """16 posed/scaled instances in a grid — the TLAS benchmark scene
+    (VERDICT r2 item 6: a dynamic multi-instance scene must render
+    within ~2x of its flattened-static throughput). Instances are
+    'dynamic' in the sense that per-frame pose updates (update_instance)
+    keep working — unlike ``flatten``, which bakes them."""
+    scene = Scene()
+    matte = scene.add_material(Material(albedo=(0.9, 0.9, 0.9)))
+    red = scene.add_material(Material(albedo=(0.9, 0.2, 0.1)))
+    sphere = scene.add_mesh(
+        MeshPrimitive.from_triangles(*procgen.icosphere(4))
+    )
+    cube = scene.add_mesh(objloader.loads(procgen.cube_obj()))
+    rng = np.random.default_rng(11)
+    side = int(np.ceil(np.sqrt(n)))
+    for k in range(n):
+        inst = MeshInstance(sphere if k % 2 else cube,
+                            matte if k % 2 else red)
+        gx, gz = k % side, k // side
+        inst.pose = np.array(
+            [(gx - (side - 1) / 2) * 2.4, 4.0 + rng.uniform(-0.8, 0.8),
+             (gz - (side - 1) / 2) * 2.4,
+             rng.uniform(0, 3), rng.uniform(0, 1), 0.0],
+            np.float32,
+        )
+        inst.scale = np.full(3, rng.uniform(0.7, 1.1), np.float32)
+        scene.add_mesh_instance(inst)
+    cam = Camera.looking(width, height, fov_deg=75.0,
+                         pose=[0, -8.0, 0.0, 0, 0, 0])
+    return scene.compile(flatten_static=flatten), cam
+
+
 def scene_colonnade(width: int = 1024, height: int = 1024,
                     columns: int = 10, segs: int = 32):
     """Config 5: Sponza-class triangle count (10x10x40x32 -> ~256k)."""
@@ -129,5 +162,6 @@ SCENES = {
     "cornell": scene_cornell,
     "bunny": scene_bunny,
     "instances": scene_instances,
+    "instances16": scene_instances16,
     "colonnade": scene_colonnade,
 }

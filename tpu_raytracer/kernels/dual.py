@@ -1,0 +1,584 @@
+"""Dual-tile interleaved packet traversal (flagship experiment v15).
+
+The resident packet kernel (kernels/traversal.py) is latency-bound:
+~43 serial steps per 4096-ray tile at ~600 cycles each, most of it
+vector->SMEM->scalar sync latency and serial fetch->reduce chains the
+Mosaic scheduler cannot overlap WITHIN one traversal (r2 anatomy,
+PERF_LOG.md). This variant traverses TWO independent ray tiles per grid
+step with SEPARATE SMEM stacks and separate per-ray best states,
+interleaving their pop phases:
+
+  * ONE combined scalar stall consumes both tiles' 2xPOP_K sync words —
+    4 node pops per sync at POP_K=2 — while each tile's descent order
+    stays the proven per-tile POP_K=2 (the r2 A/B showed K>=3's stale
+    order collapsing deep scenes; interleaving amortizes the sync
+    WITHOUT adding staleness because the tiles are independent);
+  * the two tiles' record fetches and box tests are independent
+    dependency chains, so tile B's loads issue while tile A's masked
+    reduce is still in flight (the r1 dual-wave failure shared one
+    stack and one state, serializing the chains);
+  * leaf loops run FUSED: one fori iteration tests an 8-triangle row
+    for each tile (two independent load->test chains per iteration)
+    bounded by the larger quad count.
+
+The reference analog is unchanged (the per-thread stack walk,
+raycast.cu:54-138); this is purely a deeper software-pipelining of the
+same packet traversal. Hit results are bit-identical to the single-tile
+kernel: each tile runs the exact same f32 ops in the same order.
+
+A/B gate: TRT_DUAL=1 selects this kernel in cast_rays_pallas (TPU
+only). Supports the uniform-origin specialization; the frustum/bf16/
+batch-reduce experiments (all measured losses) are not carried over.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..scene.scene import SceneArrays
+from .traversal import (
+    BIG,
+    EDGE_EPS,
+    FMA_BOX,
+    LEAF_BITS,
+    LEAF_UNROLL,
+    MAX_LEAF_TRIS,
+    PARALLEL_EPS,
+    PIX_H,
+    PIX_W,
+    POP_K,
+    REC_LANES,
+    REC_PER_ROW,
+    SMEM_CODE_BUDGET,
+    STACK_SIZE,
+    TILE,
+    TILE_L,
+    TILE_S,
+    _FLT_MAX,
+    _image_to_tiles,
+    _quat_rot,
+    _scene_kernel_inputs,
+    _stats_enabled,
+    _tiles_to_image,
+)
+
+# Fused leaf loops (one fori iteration does both tiles' 8-tri rows,
+# bounded by max(nA, nB)): measured a LOSS on TPU (130.4 vs 145
+# Mrays/s) — uncorrelated leaf schedules make the overshoot waste
+# exceed the overlap gain. Default 0 = separate per-tile leaf loops.
+FUSED_LEAVES = os.environ.get("TRT_DUAL_FUSED", "0") == "1"
+
+# SMEM layout: stack A | stack B | 2*POP_K code slots | 2*POP_K push
+_S_CODE = 2 * STACK_SIZE
+_S_PUSH = 2 * STACK_SIZE + 2 * POP_K
+_SMEM_SLOTS = 2 * STACK_SIZE + 4 * POP_K
+
+
+def _dual_kernel(num_instances, with_stats, uniform_o, smem_codes,
+                 tri_rows, *refs):
+    if uniform_o:
+        (inst_tab_ref, inst_root_ref, worigin_ref,
+         dx_ref, dy_ref, dz_ref, code_ref, nodef_ref, trif_ref) = refs[:9]
+        rest = refs[9:]
+        ox_ref = oy_ref = oz_ref = None
+    else:
+        (inst_tab_ref, inst_root_ref,
+         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+         code_ref, nodef_ref, trif_ref) = refs[:11]
+        rest = refs[11:]
+    if with_stats:
+        t_out_ref, tri_out_ref, inst_out_ref, pops_ref, tests_ref, smem_ref = rest
+    else:
+        t_out_ref, tri_out_ref, inst_out_ref, smem_ref = rest
+
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_L), 1)
+    lane16 = jax.lax.broadcasted_iota(jnp.int32, (REC_LANES, TILE_L), 1)
+    sub16 = jax.lax.broadcasted_iota(jnp.int32, (REC_LANES, TILE_L), 0)
+
+    def fetch_record(k):
+        row = nodef_ref[pl.ds(k // REC_PER_ROW, 1), :]
+        rep = jnp.broadcast_to(row, (REC_LANES, TILE_L))
+        mask = lane16 == (k % REC_PER_ROW) * REC_LANES + sub16
+        vals = jnp.sum(jnp.where(mask, rep, 0.0), axis=1, keepdims=True)
+        return vals + jnp.zeros((REC_LANES, TILE_L), jnp.float32)
+
+    # per-tile ray component tiles: [2][3] of [TILE_S, 128]
+    dirs = [tuple(r[0, w] for r in (dx_ref, dy_ref, dz_ref))
+            for w in range(2)]
+    if not uniform_o:
+        origs = [tuple(r[0, w] for r in (ox_ref, oy_ref, oz_ref))
+                 for w in range(2)]
+    best = [
+        (
+            jnp.full((TILE_S, TILE_L), BIG, jnp.float32),
+            jnp.full((TILE_S, TILE_L), -1, jnp.int32),
+            jnp.full((TILE_S, TILE_L), -1, jnp.int32),
+        )
+        for _ in range(2)
+    ]
+    n_pops = jnp.int32(0)
+    n_tests = jnp.int32(0)
+
+    for i in range(num_instances):
+        qw = inst_tab_ref[i, 0]
+        qx = inst_tab_ref[i, 1]
+        qy = inst_tab_ref[i, 2]
+        qz = inst_tab_ref[i, 3]
+        px = inst_tab_ref[i, 4]
+        py = inst_tab_ref[i, 5]
+        pz = inst_tab_ref[i, 6]
+        sx = inst_tab_ref[i, 7]
+        sy = inst_tab_ref[i, 8]
+        sz = inst_tab_ref[i, 9]
+
+        def _inv(v):
+            tiny = 1e-30
+            safe = jnp.where(jnp.abs(v) < tiny,
+                             jnp.where(v < 0, -tiny, tiny), v)
+            return 1.0 / safe
+
+        # per-tile object-space rays (raycast.cu:32-51)
+        od = []
+        oo = []
+        idv = []
+        oi = []
+        for w in range(2):
+            wdx, wdy, wdz = dirs[w]
+            odx, ody, odz = _quat_rot(qw, qx, qy, qz, wdx, wdy, wdz)
+            odx, ody, odz = odx * sx, ody * sy, odz * sz
+            if uniform_o:
+                if w == 0:
+                    wox = worigin_ref[0]
+                    woy = worigin_ref[1]
+                    woz = worigin_ref[2]
+                    s_oox, s_ooy, s_ooz = _quat_rot(
+                        qw, qx, qy, qz, wox - px, woy - py, woz - pz
+                    )
+                    s_oox, s_ooy, s_ooz = s_oox * sx, s_ooy * sy, s_ooz * sz
+                oox, ooy, ooz = s_oox, s_ooy, s_ooz
+            else:
+                wox, woy, woz = origs[w]
+                oox, ooy, ooz = _quat_rot(
+                    qw, qx, qy, qz, wox - px, woy - py, woz - pz
+                )
+                oox, ooy, ooz = oox * sx, ooy * sy, ooz * sz
+            idx_, idy_, idz_ = _inv(odx), _inv(ody), _inv(odz)
+            od.append((odx, ody, odz))
+            oo.append((oox, ooy, ooz))
+            idv.append((idx_, idy_, idz_))
+            if FMA_BOX and not uniform_o:
+                oi.append((oox * idx_, ooy * idy_, ooz * idz_))
+
+        fma_box = FMA_BOX and not uniform_o
+
+        def packet_entry(w, rec, base, t_cap):
+            """Per-tile packet slab test — op-identical to the resident
+            kernel's (traversal.py packet_entry)."""
+            idx_, idy_, idz_ = idv[w]
+            oox, ooy, ooz = oo[w]
+            bminx = rec[base + 0 : base + 1, :]
+            bminy = rec[base + 1 : base + 2, :]
+            bminz = rec[base + 2 : base + 3, :]
+            bmaxx = rec[base + 3 : base + 4, :]
+            bmaxy = rec[base + 4 : base + 5, :]
+            bmaxz = rec[base + 5 : base + 6, :]
+            if fma_box:
+                oix, oiy, oiz = oi[w]
+                t1x = bminx * idx_ - oix
+                t2x = bmaxx * idx_ - oix
+                t1y = bminy * idy_ - oiy
+                t2y = bmaxy * idy_ - oiy
+                t1z = bminz * idz_ - oiz
+                t2z = bmaxz * idz_ - oiz
+            else:
+                t1x = (bminx - oox) * idx_
+                t2x = (bmaxx - oox) * idx_
+                t1y = (bminy - ooy) * idy_
+                t2y = (bmaxy - ooy) * idy_
+                t1z = (bminz - ooz) * idz_
+                t2z = (bmaxz - ooz) * idz_
+            near = jnp.maximum(
+                jnp.maximum(jnp.fmin(t1x, t2x), jnp.fmin(t1y, t2y)),
+                jnp.fmin(t1z, t2z),
+            )
+            far = jnp.minimum(
+                jnp.minimum(jnp.fmax(t1x, t2x), jnp.fmax(t1y, t2y)),
+                jnp.fmax(t1z, t2z),
+            )
+            hit = (far >= near) & (far > 0.0) & (near < t_cap)
+            return jnp.min(jnp.where(hit, near, BIG))
+
+        def test_tri(w, rec, k, live, t_b, tri_b, in_b):
+            """Per-tile dense triangle test — op-identical to the
+            resident kernel's test_tri."""
+            odx, ody, odz = od[w]
+            oox, ooy, ooz = oo[w]
+            ax = rec[0:1, :]
+            ay = rec[1:2, :]
+            az = rec[2:3, :]
+            nx = rec[3:4, :]
+            ny = rec[4:5, :]
+            nz = rec[5:6, :]
+            e0x = rec[6:7, :]
+            e0y = rec[7:8, :]
+            e0z = rec[8:9, :]
+            e1x = rec[9:10, :]
+            e1y = rec[10:11, :]
+            e1z = rec[11:12, :]
+            dot00 = rec[12:13, :]
+            dot01 = rec[13:14, :]
+            dot11 = rec[14:15, :]
+            inv_den = rec[15:16, :]
+            denom = odx * nx + ody * ny + odz * nz
+            safe = jnp.where(jnp.abs(denom) < PARALLEL_EPS, 1.0, denom)
+            t = ((ax - oox) * nx + (ay - ooy) * ny + (az - ooz) * nz) / safe
+            pxl = oox + t * odx
+            pyl = ooy + t * ody
+            pzl = ooz + t * odz
+            e2x, e2y, e2z = pxl - ax, pyl - ay, pzl - az
+            dot02 = e0x * e2x + e0y * e2y + e0z * e2z
+            dot12 = e1x * e2x + e1y * e2y + e1z * e2z
+            u = (dot11 * dot02 - dot01 * dot12) * inv_den
+            v = (dot00 * dot12 - dot01 * dot02) * inv_den
+            ok = (
+                live
+                & (denom <= -PARALLEL_EPS)
+                & (t >= 0.0)
+                & (u >= -EDGE_EPS)
+                & (v >= -EDGE_EPS)
+                & (u + v <= 1.0 + EDGE_EPS)
+                & (t < t_b)
+            )
+            return (
+                jnp.where(ok, t, t_b),
+                jnp.where(ok, k, tri_b),
+                jnp.where(ok, i, in_b),
+            )
+
+        def popk_dual(sps, t_bs):
+            """Pop up to POP_K nodes from EACH tile's stack in ONE
+            combined vector/scalar round-trip (2*POP_K pops per sync).
+            All vector stores are issued before any scalar read; the
+            two tiles' fetch->reduce chains are independent, giving the
+            scheduler real overlap (unlike the shared-stack r1 dual
+            wave)."""
+            nodes = [[], []]
+            acts = [[], []]
+            for w in range(2):
+                sp = sps[w]
+                base = w * STACK_SIZE
+                for j in range(POP_K):
+                    acts[w].append((sp > j).astype(jnp.int32))
+                    nodes[w].append(smem_ref[base + jnp.maximum(sp - 1 - j, 0)])
+
+            # --- vector phase: issue everything, read nothing ---
+            for w in range(2):
+                for j in range(POP_K):
+                    node = nodes[w][j]
+                    s = w * POP_K + j
+                    if not smem_codes:
+                        crow = code_ref[pl.ds(node // TILE_L, 1), :]
+                        smem_ref[_S_CODE + s] = jnp.sum(
+                            jnp.where(lane1 == node % TILE_L, crow, 0)
+                        )
+                    rec = fetch_record(node)
+                    da = packet_entry(w, rec, 0, t_bs[w])
+                    db = packet_entry(w, rec, 6, t_bs[w])
+                    smem_ref[_S_PUSH + s] = (
+                        (da <= db).astype(jnp.int32)
+                        + 2 * (da < BIG).astype(jnp.int32)
+                        + 4 * (db < BIG).astype(jnp.int32)
+                    )
+
+            # --- scalar phase (single combined stall for both tiles) ---
+            sp_out = []
+            leaves = []
+            pops = jnp.int32(0)
+            for w in range(2):
+                spm = sps[w]
+                for j in range(POP_K):
+                    spm = spm - acts[w][j]
+                sp_o = spm
+                base = w * STACK_SIZE
+                leaf = []
+                for j in reversed(range(POP_K)):
+                    node, act = nodes[w][j], acts[w][j]
+                    s = w * POP_K + j
+                    if smem_codes:
+                        code = code_ref[node]
+                    else:
+                        code = smem_ref[_S_CODE + s]
+                    is_int = ((code >= 0).astype(jnp.int32)) * act
+                    ca = node + 1
+                    cb = jnp.maximum(code, 0)
+                    w_ = smem_ref[_S_PUSH + s] * is_int
+                    a_first = 1 - (w_ & 1)
+                    pa = (w_ >> 1) & 1
+                    pb = (w_ >> 2) & 1
+                    first = jnp.where(a_first == 1, ca, cb)
+                    p_first = jnp.where(a_first == 1, pa, pb)
+                    second = jnp.where(a_first == 1, cb, ca)
+                    p_second = jnp.where(a_first == 1, pb, pa)
+                    smem_ref[base + sp_o] = first
+                    sp_o = sp_o + p_first
+                    smem_ref[base + sp_o] = second
+                    sp_o = sp_o + p_second
+                    packed = -code - 1
+                    start = packed >> LEAF_BITS
+                    leaf_flag = act - is_int
+                    count = (packed & MAX_LEAF_TRIS) * leaf_flag
+                    leaf.append((start, count))
+                    pops = pops + act
+                sp_out.append(sp_o)
+                leaves.append(leaf[::-1])  # nearest-first
+            return sp_out, leaves, pops
+
+        def single_leaf_loop(w, start, count, st):
+            """One tile's leaf loop (TRT_DUAL_FUSED=0): no cross-tile
+            fusion, so no max(nA,nB) overshoot waste — the A/B that
+            killed the fused variant (r3: fused 130.4 vs 145 single)."""
+
+            def quad_body(q, acc):
+                t_b, tri_b, in_b = acc
+                k0 = start + q * LEAF_UNROLL
+                row = trif_ref[pl.ds(k0 // REC_PER_ROW, 1), :]
+                rep = jnp.broadcast_to(row, (REC_LANES, TILE_L))
+                for u_ in range(LEAF_UNROLL):
+                    k = k0 + u_
+                    mask = lane16 == u_ * REC_LANES + sub16  # static
+                    vals = jnp.sum(
+                        jnp.where(mask, rep, 0.0), axis=1, keepdims=True
+                    )
+                    rec = vals + jnp.zeros(
+                        (REC_LANES, TILE_L), jnp.float32
+                    )
+                    t_b, tri_b, in_b = test_tri(
+                        w, rec, k, k < start + count, t_b, tri_b, in_b
+                    )
+                return t_b, tri_b, in_b
+
+            n_quads = (count + LEAF_UNROLL - 1) // LEAF_UNROLL
+            return jax.lax.fori_loop(0, n_quads, quad_body, st)
+
+        def dual_leaf_loop(sa, ca, sb, cb, sts):
+            """Fused leaf loop: each iteration tests one 8-triangle row
+            for tile A and one for tile B (independent load->extract->
+            test chains). Bounded by the larger quad count; the smaller
+            tile's overshoot rows are clamped in-bounds and masked dead
+            by the count test."""
+            stA, stB = sts
+            n_quads = jnp.maximum(
+                (ca + LEAF_UNROLL - 1) // LEAF_UNROLL,
+                (cb + LEAF_UNROLL - 1) // LEAF_UNROLL,
+            )
+
+            def quad_body(q, acc):
+                stA, stB = acc
+                outs = []
+                for w, (start, count, st) in enumerate(
+                    ((sa, ca, stA), (sb, cb, stB))
+                ):
+                    t_b, tri_b, in_b = st
+                    k0 = start + q * LEAF_UNROLL
+                    row_i = jnp.minimum(k0 // REC_PER_ROW, tri_rows - 1)
+                    row = trif_ref[pl.ds(row_i, 1), :]
+                    rep = jnp.broadcast_to(row, (REC_LANES, TILE_L))
+                    for u_ in range(LEAF_UNROLL):
+                        k = k0 + u_
+                        mask = lane16 == u_ * REC_LANES + sub16  # static
+                        vals = jnp.sum(
+                            jnp.where(mask, rep, 0.0), axis=1, keepdims=True
+                        )
+                        rec = vals + jnp.zeros(
+                            (REC_LANES, TILE_L), jnp.float32
+                        )
+                        t_b, tri_b, in_b = test_tri(
+                            w, rec, k, k < start + count, t_b, tri_b, in_b
+                        )
+                    outs.append((t_b, tri_b, in_b))
+                return outs[0], outs[1]
+
+            return jax.lax.fori_loop(0, n_quads, quad_body, (stA, stB))
+
+        def body(carry):
+            spA, spB, stA, stB, np_, nt_ = carry
+            sps, leaves, pops = popk_dual((spA, spB), (stA[0], stB[0]))
+            nt = nt_
+            if FUSED_LEAVES:
+                for (sa, ca), (sb, cb) in zip(leaves[0], leaves[1]):
+                    stA, stB = dual_leaf_loop(sa, ca, sb, cb, (stA, stB))
+                    nt = nt + ca + cb
+            else:
+                for sa, ca in leaves[0]:
+                    stA = single_leaf_loop(0, sa, ca, stA)
+                    nt = nt + ca
+                for sb, cb in leaves[1]:
+                    stB = single_leaf_loop(1, sb, cb, stB)
+                    nt = nt + cb
+            return sps[0], sps[1], stA, stB, np_ + pops, nt
+
+        root = inst_root_ref[i]
+        smem_ref[0] = root
+        smem_ref[STACK_SIZE] = root
+        carry = (jnp.int32(1), jnp.int32(1), best[0], best[1],
+                 n_pops, n_tests)
+        carry = jax.lax.while_loop(
+            lambda c: (c[0] > 0) | (c[1] > 0), body, carry
+        )
+        _, _, bA, bB, n_pops, n_tests = carry
+        best = [bA, bB]
+
+    for w in range(2):
+        t_b, tri_b, in_b = best[w]
+        t_out_ref[0, w] = jnp.where(t_b >= BIG, _FLT_MAX, t_b)
+        tri_out_ref[0, w] = tri_b
+        inst_out_ref[0, w] = in_b
+    if with_stats:
+        zeros = jnp.zeros((TILE_S, TILE_L), jnp.int32)
+        pops_ref[0, 0] = zeros + n_pops
+        pops_ref[0, 1] = zeros
+        tests_ref[0, 0] = zeros + n_tests
+        tests_ref[0, 1] = zeros
+
+
+def _run_dual(scene: SceneArrays, tiled, interpret: bool, worigin=None):
+    """Invoke the dual kernel over [n_tiles, TILE_S, 128] ray tiles,
+    two tiles per grid step (n_tiles padded to even)."""
+    uniform_o = worigin is not None
+    if uniform_o:
+        comps = list(tiled)
+    else:
+        comps = list(tiled)
+    n_tiles = comps[0].shape[0]
+    pad = n_tiles % 2
+    if pad:
+        comps = [
+            jnp.concatenate([a, a[-1:]], axis=0) for a in comps
+        ]
+        n_tiles += 1
+    # [n2, 2, TILE_S, 128]
+    comps = [a.reshape(-1, 2, TILE_S, TILE_L) for a in comps]
+    n2 = comps[0].shape[0]
+
+    smem_codes = scene.node_child_a.shape[0] * 4 <= SMEM_CODE_BUDGET
+    (inst_tab, inst_root), (code_arr, nodef), (trif,) = _scene_kernel_inputs(
+        scene, bf16_box=False, smem_codes=smem_codes
+    )
+    with_stats = _stats_enabled()
+
+    ray_spec = pl.BlockSpec(
+        (1, 2, TILE_S, TILE_L), lambda i: (i, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    vmem_whole = lambda a: pl.BlockSpec(
+        a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.VMEM
+    )
+    smem_whole = lambda a: pl.BlockSpec(
+        a.shape, lambda i: (0,) * a.ndim, memory_space=pltpu.SMEM
+    )
+    code_spec = smem_whole if smem_codes else vmem_whole
+
+    if uniform_o:
+        wo = jnp.asarray(worigin, jnp.float32)
+        inputs = (inst_tab, inst_root, wo, *comps, code_arr, nodef, trif)
+        in_specs = (
+            [smem_whole(inst_tab), smem_whole(inst_root), smem_whole(wo)]
+            + [ray_spec] * 3
+            + [code_spec(code_arr), vmem_whole(nodef), vmem_whole(trif)]
+        )
+    else:
+        inputs = (inst_tab, inst_root, *comps, code_arr, nodef, trif)
+        in_specs = (
+            [smem_whole(inst_tab), smem_whole(inst_root)]
+            + [ray_spec] * 6
+            + [code_spec(code_arr), vmem_whole(nodef), vmem_whole(trif)]
+        )
+    f32s = jax.ShapeDtypeStruct((n2, 2, TILE_S, TILE_L), jnp.float32)
+    i32s = jax.ShapeDtypeStruct((n2, 2, TILE_S, TILE_L), jnp.int32)
+    out_shape = (f32s, i32s, i32s) + ((i32s, i32s) if with_stats else ())
+    kernel = functools.partial(
+        _dual_kernel, scene.num_instances, with_stats, uniform_o,
+        smem_codes, trif.shape[0],
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n2,),
+        in_specs=in_specs,
+        out_specs=(ray_spec,) * len(out_shape),
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.SMEM((_SMEM_SLOTS,), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*inputs)
+    if with_stats:
+        t, tri, inst, pops, tests = outs
+        from .traversal import _LAST_STATS
+
+        _LAST_STATS["pops"] = pops[:, :, 0, 0].reshape(-1)
+        _LAST_STATS["tests"] = tests[:, :, 0, 0].reshape(-1)
+    else:
+        t, tri, inst = outs
+    unstack = lambda a: a.reshape(-1, TILE_S, TILE_L)[: tiled[0].shape[0]]
+    return unstack(t), unstack(tri), unstack(inst)
+
+
+def cast_rays_dual(scene: SceneArrays, origin, directions, interpret=None):
+    """Nearest-hit query with the dual-tile interleaved kernel. Same
+    Hit record and ray-layout handling as cast_rays_pallas."""
+    from ..render.renderer import Hit  # local: avoids cycle
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    directions = jnp.asarray(directions, jnp.float32)
+    origin = jnp.asarray(origin, jnp.float32)
+    uniform_o = origin.ndim == 1
+    worigin = origin if uniform_o else None
+    if not uniform_o:
+        origin = jnp.broadcast_to(origin, directions.shape)
+    shape = directions.shape[:-1]
+
+    use_2d = (
+        len(shape) == 2
+        and shape[0] % PIX_H == 0
+        and shape[1] % PIX_W == 0
+    )
+    if use_2d:
+        h, w = shape
+        srcs = [(directions, 0), (directions, 1), (directions, 2)]
+        if not uniform_o:
+            srcs = [(origin, 0), (origin, 1), (origin, 2)] + srcs
+        tiled = tuple(_image_to_tiles(a[..., c]) for a, c in srcs)
+        t, tri, inst = _run_dual(scene, tiled, interpret, worigin)
+        return Hit(
+            t=_tiles_to_image(t, h, w),
+            tri=_tiles_to_image(tri, h, w),
+            inst=_tiles_to_image(inst, h, w),
+        )
+
+    flat_d = directions.reshape(-1, 3)
+    r = flat_d.shape[0]
+    pad = (-r) % TILE
+    if pad:
+        flat_d = jnp.concatenate(
+            [flat_d, jnp.broadcast_to(flat_d[-1:], (pad, 3))]
+        )
+    srcs = [(flat_d, 0), (flat_d, 1), (flat_d, 2)]
+    if not uniform_o:
+        flat_o = origin.reshape(-1, 3)
+        if pad:
+            flat_o = jnp.concatenate(
+                [flat_o, jnp.broadcast_to(flat_o[-1:], (pad, 3))]
+            )
+        srcs = [(flat_o, 0), (flat_o, 1), (flat_o, 2)] + srcs
+    tiled = tuple(a[:, c].reshape(-1, TILE_S, TILE_L) for a, c in srcs)
+    t, tri, inst = _run_dual(scene, tiled, interpret, worigin)
+    unpack = lambda a: a.reshape(-1)[:r].reshape(shape)
+    return Hit(t=unpack(t), tri=unpack(tri), inst=unpack(inst))

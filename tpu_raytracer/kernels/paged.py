@@ -576,6 +576,9 @@ def prepare_paged(scene: SceneArrays, page_tris: int = PAGE_TRIS,
     defaults) to force many small pages, e.g. in tests."""
     if page_tris > PAGE_TRIS or page_nodes > PAGE_NODES:
         raise ValueError("page cut sizes cannot exceed the buffer capacity")
+    if (scene.paged is not None and page_tris == PAGE_TRIS
+            and page_nodes == PAGE_NODES):
+        return scene.paged  # already attached (Scene.compile auto-page)
     key = (id(scene.node_child_a), page_tris, page_nodes)
     hit = _PAGE_CACHE.get(key)
     if hit is not None and hit[0] is scene.node_child_a:

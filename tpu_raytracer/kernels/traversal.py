@@ -975,6 +975,19 @@ def _scene_vmem_bytes(scene: SceneArrays) -> int:
     return (tri_rows + node_rows) * TILE_L * 4 + code_rows * TILE_L * 4
 
 
+def _dual_default() -> bool:
+    """TRT_DUAL=1 selects the dual-tile interleaved kernel
+    (kernels/dual.py) — two independent packet traversals per grid step
+    sharing each scalar sync."""
+    return os.environ.get("TRT_DUAL", "0") == "1"
+
+
+def _tlas_default() -> bool:
+    """TRT_TLAS=0 disables the two-level TLAS routing for
+    multi-instance scenes (kernels/tlas.py)."""
+    return os.environ.get("TRT_TLAS", "1") != "0"
+
+
 def _frustum_default() -> bool:
     # Measured on the 82k-tri 1080p config (v11): the interval test cuts
     # per-pop vector work ~10x but loses per-ray t-pruning (packet cap =
@@ -1028,6 +1041,19 @@ def cast_rays_pallas(scene: SceneArrays, origin, directions, interpret=None,
         frustum = _frustum_default()
     if bf16_box is None:
         bf16_box = _bf16_default()
+    if _dual_default() and not (frustum or bf16_box):
+        from .dual import cast_rays_dual
+
+        return cast_rays_dual(scene, origin, directions, interpret=interpret)
+    if (
+        scene.tlas is not None
+        and scene.num_instances >= 2
+        and _tlas_default()
+        and not (frustum or bf16_box)
+    ):
+        from .tlas import cast_rays_tlas
+
+        return cast_rays_tlas(scene, origin, directions, interpret=interpret)
     directions = jnp.asarray(directions, jnp.float32)
     origin = jnp.asarray(origin, jnp.float32)
     # Static uniform-origin detection: generate_rays returns a single

@@ -82,6 +82,12 @@ class SceneArrays:
     # paged kernel AUTOMATICALLY in every render mode (the reference
     # never degrades either — everything resident, Scene.cpp:41-64).
     paged: object | None = None
+    # Scene-level BVH over instance world boxes (kernels/tlas.py
+    # TlasTables) for multi-instance scenes — the acceleration level
+    # the reference's linear instance loop lacks (raycast.cu:26-51).
+    # Attached by Scene.compile for 2+ instances; refreshed by
+    # update_instance on concrete arrays (dropped under tracing).
+    tlas: object | None = None
 
     @property
     def num_triangles(self) -> int:
@@ -93,9 +99,11 @@ class SceneArrays:
 
     def update_instance(self, index: int, instance: MeshInstance) -> "SceneArrays":
         """Functional single-instance pose update — the cheap animation
-        path (Scene::update_mesh_instance, Scene.cpp:67-74)."""
+        path (Scene::update_mesh_instance, Scene.cpp:67-74). The TLAS
+        (instance-level BVH) is rebuilt when the arrays are concrete,
+        dropped (-> linear-loop kernel) under tracing."""
         inv = instance.build_inv()
-        return dataclasses.replace(
+        new = dataclasses.replace(
             self,
             inst_pose=self.inst_pose.at[index].set(jnp.asarray(inv["pose"])),
             inst_inv_pose=self.inst_inv_pose.at[index].set(jnp.asarray(inv["inv_pose"])),
@@ -103,14 +111,21 @@ class SceneArrays:
             inst_inv_scale=self.inst_inv_scale.at[index].set(jnp.asarray(inv["inv_scale"])),
             inst_mesh=self.inst_mesh.at[index].set(instance.mesh_index),
             inst_material=self.inst_material.at[index].set(instance.material_index),
+            tlas=None,
         )
+        if self.tlas is not None and not isinstance(
+            new.inst_pose, jax.core.Tracer
+        ):
+            new = new.with_tlas()
+        return new
 
     # -- serialization (the BVH/scene cache the reference lacks) --------
     def save(self, fp: str) -> None:
         arrays = {
             f.name: np.asarray(getattr(self, f.name))
             for f in dataclasses.fields(self)
-            if f.name != "paged"  # derived; rebuilt on demand after load
+            # derived tables; rebuilt on demand after load
+            if f.name not in ("paged", "tlas")
         }
         np.savez_compressed(fp, **arrays)
 
@@ -128,6 +143,15 @@ class SceneArrays:
             return self
         base = dataclasses.replace(self, paged=None)
         return dataclasses.replace(self, paged=prepare_paged(base))
+
+    def with_tlas(self) -> "SceneArrays":
+        """Attach the instance-level TLAS (idempotent eager host work —
+        call with concrete arrays, outside jit)."""
+        from ..kernels.tlas import build_tlas
+
+        if self.tlas is not None:
+            return self
+        return dataclasses.replace(self, tlas=build_tlas(self))
 
     def needs_paging(self) -> bool:
         """True when the packed tables exceed the resident kernel's
@@ -394,4 +418,6 @@ class Scene:
         # with the reference's never-degrades residency (Scene.cpp:41-64).
         if auto_page and arrays.needs_paging():
             arrays = arrays.with_paging()
+        if arrays.num_instances >= 2:
+            arrays = arrays.with_tlas()
         return arrays
