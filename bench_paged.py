@@ -35,8 +35,13 @@ def main():
     # 18x18 columns x 40 bands x 40 segs x 2 + floor ~= 1.04M triangles:
     # tri records alone are 64MB -- far past the resident kernel's VMEM
     # budget, so this scene exercises the paged path for real.
+    # TRT_PAGED_COLUMNS=36 gives a ~4.1M-tri scene (the r3 cap-raise
+    # check: page-local leaf words lifted the old 2^21 limit).
+    import os
+
+    columns = int(os.environ.get("TRT_PAGED_COLUMNS", "18"))
     t0 = time.perf_counter()
-    arrays, cam = scene_colonnade(512, 512, columns=18, segs=40)
+    arrays, cam = scene_colonnade(512, 512, columns=columns, segs=40)
     print(json.dumps({
         "scene_tris": int(arrays.num_triangles),
         "bvh_nodes": int(arrays.node_child_a.shape[0]),
@@ -89,8 +94,9 @@ def main():
 
     rays = cam.width * cam.height
     dt = timed(lambda: render_image_paged(*args))
+    mtris = round(arrays.num_triangles / 1e6, 2)
     print(json.dumps({
-        "metric": f"paged 1M-tri colonnade @{cam.width}x{cam.height}",
+        "metric": f"paged {mtris}M-tri colonnade @{cam.width}x{cam.height}",
         "fps": round(1 / dt, 2),
         "mrays_per_s": round(rays / dt / 1e6, 2),
     }), flush=True)

@@ -1,0 +1,86 @@
+"""4-wide collapsed-BVH kernel (kernels/wide4.py) in the CPU suite."""
+
+import numpy as np
+import pytest
+
+from tpu_raytracer.accel.wide import collapse4
+from tpu_raytracer.kernels.traversal import cast_rays_pallas
+from tpu_raytracer.kernels.wide4 import cast_rays_wide4
+from tpu_raytracer.render.camera import generate_rays
+
+from test_pallas_interpret import _two_instance_scene
+
+
+@pytest.fixture(autouse=True)
+def _linear_reference(monkeypatch):
+    # bit-exact reference = the resident linear kernel
+    monkeypatch.setenv("TRT_TLAS", "0")
+    monkeypatch.setenv("TRT_DUAL", "0")
+
+
+def _rays(cam):
+    p = cam.ray_params()
+    return generate_rays(cam.width, cam.height, p["K_inv"], p["D"],
+                         p["pose"], p["inv_pose"])
+
+
+def test_collapse4_invariants():
+    arrays, _ = _two_instance_scene()
+    w = collapse4(
+        np.asarray(arrays.node_child_a), np.asarray(arrays.node_child_b),
+        np.asarray(arrays.node_leaf_start),
+        np.asarray(arrays.node_leaf_count),
+        np.asarray(arrays.node_min), np.asarray(arrays.node_max),
+        np.asarray(arrays.mesh_root),
+    )
+    # every binary leaf's (start,count) appears exactly once as a wide
+    # leaf entry
+    ca = np.asarray(arrays.node_child_a)
+    ls = np.asarray(arrays.node_leaf_start)[ca < 0]
+    lc = np.asarray(arrays.node_leaf_count)[ca < 0]
+    want = sorted(zip(ls.tolist(), lc.tolist()))
+    got = []
+    for c in w.wcode:
+        if c < 0 and c != -1:
+            p = -int(c) - 1
+            got.append((p >> 10, p & 1023))
+    # -1 entries can also be real count-0 leaves; filter count>0 both
+    got = sorted(g for g in got if g[1] > 0)
+    want = sorted(w_ for w_ in want if w_[1] > 0)
+    assert got == want
+    # internal codes reference valid wide ids
+    for c in w.wcode:
+        if c >= 0:
+            assert c < w.num_nodes
+
+
+def test_wide4_matches_linear_kernel():
+    arrays, cam = _two_instance_scene()
+    assert arrays.wide4 is not None  # attached at compile
+    o, d = _rays(cam)
+    ref = cast_rays_pallas(arrays, o, d, interpret=True)
+    got = cast_rays_wide4(arrays, o, d, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got.tri), np.asarray(ref.tri))
+    np.testing.assert_array_equal(np.asarray(got.inst), np.asarray(ref.inst))
+    np.testing.assert_array_equal(np.asarray(got.t), np.asarray(ref.t))
+
+
+def test_wide4_uniform_origin():
+    arrays, cam = _two_instance_scene()
+    o, d = _rays(cam)
+    o3 = np.asarray(o).reshape(-1, 3)[0] if np.asarray(o).ndim > 1 \
+        else np.asarray(o)
+    ref = cast_rays_pallas(arrays, o3, d, interpret=True)
+    got = cast_rays_wide4(arrays, o3, d, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got.tri), np.asarray(ref.tri))
+    np.testing.assert_array_equal(np.asarray(got.t), np.asarray(ref.t))
+
+
+def test_wide4_routing(monkeypatch):
+    """TRT_WIDE4=1 routes cast_rays_pallas through the wide kernel."""
+    arrays, cam = _two_instance_scene()
+    o, d = _rays(cam)
+    ref = cast_rays_pallas(arrays, o, d, interpret=True)
+    monkeypatch.setenv("TRT_WIDE4", "1")
+    got = cast_rays_pallas(arrays, o, d, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got.tri), np.asarray(ref.tri))

@@ -74,14 +74,35 @@ from .traversal import (
 # exceed the overlap gain. Default 0 = separate per-tile leaf loops.
 FUSED_LEAVES = os.environ.get("TRT_DUAL_FUSED", "0") == "1"
 
+# Triangles per leaf-loop iteration (multiple of 8 = the packed row
+# width). 16 loads TWO rows per iteration — independent load->test
+# chains the scheduler can overlap, halving the serial leaf-iteration
+# count at min_leaf 16 (most leaves fit one iteration).
+LEAF_U = int(os.environ.get("TRT_LEAF_U", "8"))
+assert LEAF_U % LEAF_UNROLL == 0
+
+# Per-tile stack size. Wide mode needs far more than the binary
+# kernel's 64: a 4-wide pop pushes up to 4 children (net +3 per level,
+# vs +1 binary) and POP_K=2 adds up to +6 transiently — an overflow
+# lands in the NEIGHBORING tile's stack region and corrupts its node
+# ids (negative leaf codes -> OOB record fetch -> chip fault; observed
+# r3 on the first dual-wide TPU run).
+def _stack_sz(wide: bool) -> int:
+    return 192 if wide else STACK_SIZE
+
+
 # SMEM layout: stack A | stack B | 2*POP_K code slots | 2*POP_K push
-_S_CODE = 2 * STACK_SIZE
-_S_PUSH = 2 * STACK_SIZE + 2 * POP_K
-_SMEM_SLOTS = 2 * STACK_SIZE + 4 * POP_K
+def _smem_layout(wide: bool):
+    s = _stack_sz(wide)
+    return 2 * s, 2 * s + 2 * POP_K, 2 * s + 4 * POP_K
 
 
 def _dual_kernel(num_instances, with_stats, uniform_o, smem_codes,
-                 tri_rows, *refs):
+                 tri_rows, wide, *refs):
+    """``wide=True`` pops 4-wide collapsed nodes (accel/wide.py
+    encoding: explicit child codes in SMEM, 32-lane box records) —
+    combining the dual-tile sync sharing with the wide tree's ~3x
+    lower pop count. Codes are always SMEM-resident in wide mode."""
     if uniform_o:
         (inst_tab_ref, inst_root_ref, worigin_ref,
          dx_ref, dy_ref, dz_ref, code_ref, nodef_ref, trif_ref) = refs[:9]
@@ -97,6 +118,9 @@ def _dual_kernel(num_instances, with_stats, uniform_o, smem_codes,
     else:
         t_out_ref, tri_out_ref, inst_out_ref, smem_ref = rest
 
+    stack_sz = _stack_sz(wide)
+    _s_code, _s_push, _ = _smem_layout(wide)
+
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_L), 1)
     lane16 = jax.lax.broadcasted_iota(jnp.int32, (REC_LANES, TILE_L), 1)
     sub16 = jax.lax.broadcasted_iota(jnp.int32, (REC_LANES, TILE_L), 0)
@@ -107,6 +131,19 @@ def _dual_kernel(num_instances, with_stats, uniform_o, smem_codes,
         mask = lane16 == (k % REC_PER_ROW) * REC_LANES + sub16
         vals = jnp.sum(jnp.where(mask, rep, 0.0), axis=1, keepdims=True)
         return vals + jnp.zeros((REC_LANES, TILE_L), jnp.float32)
+
+    if wide:
+        from .wide4 import REC32, REC32_PER_ROW
+
+        lane32 = jax.lax.broadcasted_iota(jnp.int32, (REC32, TILE_L), 1)
+        sub32 = jax.lax.broadcasted_iota(jnp.int32, (REC32, TILE_L), 0)
+
+        def fetch32(k):
+            row = nodef_ref[pl.ds(k // REC32_PER_ROW, 1), :]
+            rep = jnp.broadcast_to(row, (REC32, TILE_L))
+            mask = lane32 == (k % REC32_PER_ROW) * REC32 + sub32
+            vals = jnp.sum(jnp.where(mask, rep, 0.0), axis=1, keepdims=True)
+            return vals + jnp.zeros((REC32, TILE_L), jnp.float32)
 
     # per-tile ray component tiles: [2][3] of [TILE_S, 128]
     dirs = [tuple(r[0, w] for r in (dx_ref, dy_ref, dz_ref))
@@ -261,6 +298,80 @@ def _dual_kernel(num_instances, with_stats, uniform_o, smem_codes,
                 jnp.where(ok, i, in_b),
             )
 
+        def popk_dual_wide(sps, t_bs):
+            """Wide-mode combined pop: up to POP_K 4-wide nodes from
+            EACH tile per sync. Vector phase packs one count+permutation
+            word per pop (kernels/wide4.py scheme); scalar phase reads
+            child codes SMEM-direct."""
+            nodes, acts = [[], []], [[], []]
+            for w in range(2):
+                sp = sps[w]
+                base = w * stack_sz
+                for j in range(POP_K):
+                    acts[w].append((sp > j).astype(jnp.int32))
+                    nodes[w].append(
+                        smem_ref[base + jnp.maximum(sp - 1 - j, 0)]
+                    )
+
+            # --- vector phase ---
+            for w in range(2):
+                for j in range(POP_K):
+                    rec = fetch32(nodes[w][j])
+                    ds = [packet_entry(w, rec, 6 * c, t_bs[w])
+                          for c in range(4)]
+                    hs = [(d < BIG).astype(jnp.int32) for d in ds]
+                    word = hs[0] + hs[1] + hs[2] + hs[3]
+                    for c in range(4):
+                        r = jnp.int32(0)
+                        for k in range(4):
+                            if k == c:
+                                continue
+                            r = r + (
+                                (ds[k] < ds[c])
+                                | ((ds[k] == ds[c]) & (k < c))
+                            ).astype(jnp.int32)
+                        word = word + jnp.left_shift(
+                            jnp.int32(c), 3 + 2 * r
+                        )
+                    smem_ref[_s_push + w * POP_K + j] = word
+
+            # --- scalar phase (single combined stall, both tiles) ---
+            sp_out = []
+            leaves = []
+            pops = jnp.int32(0)
+            for w in range(2):
+                spm = sps[w]
+                for j in range(POP_K):
+                    spm = spm - acts[w][j]
+                sp_o = spm
+                base = w * stack_sz
+                leaf = []
+                for j in reversed(range(POP_K)):
+                    node, act = nodes[w][j], acts[w][j]
+                    w_ = smem_ref[_s_push + w * POP_K + j]
+                    count = (w_ & 7) * act
+                    pop_leaves = []
+                    for p in reversed(range(4)):  # farthest -> nearest
+                        csel = (w_ >> (3 + 2 * p)) & 3
+                        active = (count > p).astype(jnp.int32)
+                        code = code_ref[4 * node + csel]
+                        is_int = ((code >= 0).astype(jnp.int32)) * active
+                        # clamp: the unconditional scratch write must
+                        # never leave a NEGATIVE leaf code in a stack
+                        # slot — a finished tile keeps popping slot 0
+                        # while its sibling runs, and a negative node
+                        # id faults the record fetch (r3 TPU crash)
+                        smem_ref[base + sp_o] = jnp.maximum(code, 0)
+                        sp_o = sp_o + is_int
+                        packed = -code - 1
+                        lcount = (packed & MAX_LEAF_TRIS) * (active - is_int)
+                        pop_leaves.append((packed >> LEAF_BITS, lcount))
+                    leaf.extend(pop_leaves[::-1])
+                    pops = pops + act
+                sp_out.append(sp_o)
+                leaves.append(leaf)  # nearest-first within each pop
+            return sp_out, leaves, pops
+
         def popk_dual(sps, t_bs):
             """Pop up to POP_K nodes from EACH tile's stack in ONE
             combined vector/scalar round-trip (2*POP_K pops per sync).
@@ -272,7 +383,7 @@ def _dual_kernel(num_instances, with_stats, uniform_o, smem_codes,
             acts = [[], []]
             for w in range(2):
                 sp = sps[w]
-                base = w * STACK_SIZE
+                base = w * stack_sz
                 for j in range(POP_K):
                     acts[w].append((sp > j).astype(jnp.int32))
                     nodes[w].append(smem_ref[base + jnp.maximum(sp - 1 - j, 0)])
@@ -284,13 +395,13 @@ def _dual_kernel(num_instances, with_stats, uniform_o, smem_codes,
                     s = w * POP_K + j
                     if not smem_codes:
                         crow = code_ref[pl.ds(node // TILE_L, 1), :]
-                        smem_ref[_S_CODE + s] = jnp.sum(
+                        smem_ref[_s_code + s] = jnp.sum(
                             jnp.where(lane1 == node % TILE_L, crow, 0)
                         )
                     rec = fetch_record(node)
                     da = packet_entry(w, rec, 0, t_bs[w])
                     db = packet_entry(w, rec, 6, t_bs[w])
-                    smem_ref[_S_PUSH + s] = (
+                    smem_ref[_s_push + s] = (
                         (da <= db).astype(jnp.int32)
                         + 2 * (da < BIG).astype(jnp.int32)
                         + 4 * (db < BIG).astype(jnp.int32)
@@ -305,7 +416,7 @@ def _dual_kernel(num_instances, with_stats, uniform_o, smem_codes,
                 for j in range(POP_K):
                     spm = spm - acts[w][j]
                 sp_o = spm
-                base = w * STACK_SIZE
+                base = w * stack_sz
                 leaf = []
                 for j in reversed(range(POP_K)):
                     node, act = nodes[w][j], acts[w][j]
@@ -313,11 +424,11 @@ def _dual_kernel(num_instances, with_stats, uniform_o, smem_codes,
                     if smem_codes:
                         code = code_ref[node]
                     else:
-                        code = smem_ref[_S_CODE + s]
+                        code = smem_ref[_s_code + s]
                     is_int = ((code >= 0).astype(jnp.int32)) * act
                     ca = node + 1
                     cb = jnp.maximum(code, 0)
-                    w_ = smem_ref[_S_PUSH + s] * is_int
+                    w_ = smem_ref[_s_push + s] * is_int
                     a_first = 1 - (w_ & 1)
                     pa = (w_ >> 1) & 1
                     pb = (w_ >> 2) & 1
@@ -342,28 +453,34 @@ def _dual_kernel(num_instances, with_stats, uniform_o, smem_codes,
         def single_leaf_loop(w, start, count, st):
             """One tile's leaf loop (TRT_DUAL_FUSED=0): no cross-tile
             fusion, so no max(nA,nB) overshoot waste — the A/B that
-            killed the fused variant (r3: fused 130.4 vs 145 single)."""
+            killed the fused variant (r3: fused 130.4 vs 145 single).
+            LEAF_U > 8 issues multiple independent row loads per
+            iteration (overshoot rows clamped in-bounds, tests masked
+            by the count)."""
 
             def quad_body(q, acc):
                 t_b, tri_b, in_b = acc
-                k0 = start + q * LEAF_UNROLL
-                row = trif_ref[pl.ds(k0 // REC_PER_ROW, 1), :]
-                rep = jnp.broadcast_to(row, (REC_LANES, TILE_L))
-                for u_ in range(LEAF_UNROLL):
-                    k = k0 + u_
-                    mask = lane16 == u_ * REC_LANES + sub16  # static
-                    vals = jnp.sum(
-                        jnp.where(mask, rep, 0.0), axis=1, keepdims=True
-                    )
-                    rec = vals + jnp.zeros(
-                        (REC_LANES, TILE_L), jnp.float32
-                    )
-                    t_b, tri_b, in_b = test_tri(
-                        w, rec, k, k < start + count, t_b, tri_b, in_b
-                    )
+                k0 = start + q * LEAF_U
+                for r in range(LEAF_U // REC_PER_ROW):
+                    kr = k0 + r * REC_PER_ROW
+                    row_i = jnp.minimum(kr // REC_PER_ROW, tri_rows - 1)
+                    row = trif_ref[pl.ds(row_i, 1), :]
+                    rep = jnp.broadcast_to(row, (REC_LANES, TILE_L))
+                    for u_ in range(LEAF_UNROLL):
+                        k = kr + u_
+                        mask = lane16 == u_ * REC_LANES + sub16  # static
+                        vals = jnp.sum(
+                            jnp.where(mask, rep, 0.0), axis=1, keepdims=True
+                        )
+                        rec = vals + jnp.zeros(
+                            (REC_LANES, TILE_L), jnp.float32
+                        )
+                        t_b, tri_b, in_b = test_tri(
+                            w, rec, k, k < start + count, t_b, tri_b, in_b
+                        )
                 return t_b, tri_b, in_b
 
-            n_quads = (count + LEAF_UNROLL - 1) // LEAF_UNROLL
+            n_quads = (count + LEAF_U - 1) // LEAF_U
             return jax.lax.fori_loop(0, n_quads, quad_body, st)
 
         def dual_leaf_loop(sa, ca, sb, cb, sts):
@@ -408,7 +525,8 @@ def _dual_kernel(num_instances, with_stats, uniform_o, smem_codes,
 
         def body(carry):
             spA, spB, stA, stB, np_, nt_ = carry
-            sps, leaves, pops = popk_dual((spA, spB), (stA[0], stB[0]))
+            pop_fn = popk_dual_wide if wide else popk_dual
+            sps, leaves, pops = pop_fn((spA, spB), (stA[0], stB[0]))
             nt = nt_
             if FUSED_LEAVES:
                 for (sa, ca), (sb, cb) in zip(leaves[0], leaves[1]):
@@ -425,7 +543,7 @@ def _dual_kernel(num_instances, with_stats, uniform_o, smem_codes,
 
         root = inst_root_ref[i]
         smem_ref[0] = root
-        smem_ref[STACK_SIZE] = root
+        smem_ref[stack_sz] = root
         carry = (jnp.int32(1), jnp.int32(1), best[0], best[1],
                  n_pops, n_tests)
         carry = jax.lax.while_loop(
@@ -447,14 +565,13 @@ def _dual_kernel(num_instances, with_stats, uniform_o, smem_codes,
         tests_ref[0, 1] = zeros
 
 
-def _run_dual(scene: SceneArrays, tiled, interpret: bool, worigin=None):
+def _run_dual(scene: SceneArrays, tiled, interpret: bool, worigin=None,
+              wide: bool = False):
     """Invoke the dual kernel over [n_tiles, TILE_S, 128] ray tiles,
-    two tiles per grid step (n_tiles padded to even)."""
+    two tiles per grid step (n_tiles padded to even). ``wide`` swaps
+    the binary node tables for the 4-wide collapse (scene.wide4)."""
     uniform_o = worigin is not None
-    if uniform_o:
-        comps = list(tiled)
-    else:
-        comps = list(tiled)
+    comps = list(tiled)
     n_tiles = comps[0].shape[0]
     pad = n_tiles % 2
     if pad:
@@ -470,6 +587,12 @@ def _run_dual(scene: SceneArrays, tiled, interpret: bool, worigin=None):
     (inst_tab, inst_root), (code_arr, nodef), (trif,) = _scene_kernel_inputs(
         scene, bf16_box=False, smem_codes=smem_codes
     )
+    if wide:
+        tables = scene.wide4
+        code_arr = tables.wcode  # [4W] i32, SMEM-resident
+        nodef = tables.wnodef  # 32-lane records
+        inst_root = tables.wroot[scene.inst_mesh]
+        smem_codes = True
     with_stats = _stats_enabled()
 
     ray_spec = pl.BlockSpec(
@@ -504,7 +627,7 @@ def _run_dual(scene: SceneArrays, tiled, interpret: bool, worigin=None):
     out_shape = (f32s, i32s, i32s) + ((i32s, i32s) if with_stats else ())
     kernel = functools.partial(
         _dual_kernel, scene.num_instances, with_stats, uniform_o,
-        smem_codes, trif.shape[0],
+        smem_codes, trif.shape[0], wide,
     )
     outs = pl.pallas_call(
         kernel,
@@ -512,7 +635,7 @@ def _run_dual(scene: SceneArrays, tiled, interpret: bool, worigin=None):
         in_specs=in_specs,
         out_specs=(ray_spec,) * len(out_shape),
         out_shape=out_shape,
-        scratch_shapes=[pltpu.SMEM((_SMEM_SLOTS,), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((_smem_layout(wide)[2],), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -530,11 +653,19 @@ def _run_dual(scene: SceneArrays, tiled, interpret: bool, worigin=None):
     return unstack(t), unstack(tri), unstack(inst)
 
 
-def cast_rays_dual(scene: SceneArrays, origin, directions, interpret=None):
+def cast_rays_dual(scene: SceneArrays, origin, directions, interpret=None,
+                   wide: bool | None = None):
     """Nearest-hit query with the dual-tile interleaved kernel. Same
-    Hit record and ray-layout handling as cast_rays_pallas."""
+    Hit record and ray-layout handling as cast_rays_pallas. ``wide``
+    pops 4-wide collapsed nodes (needs scene.wide4); defaults to wide
+    when the tables are present (TRT_DUAL_WIDE=0 forces binary)."""
     from ..render.renderer import Hit  # local: avoids cycle
 
+    if wide is None:
+        wide = (
+            scene.wide4 is not None
+            and os.environ.get("TRT_DUAL_WIDE", "1") != "0"
+        )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     directions = jnp.asarray(directions, jnp.float32)
@@ -556,7 +687,7 @@ def cast_rays_dual(scene: SceneArrays, origin, directions, interpret=None):
         if not uniform_o:
             srcs = [(origin, 0), (origin, 1), (origin, 2)] + srcs
         tiled = tuple(_image_to_tiles(a[..., c]) for a, c in srcs)
-        t, tri, inst = _run_dual(scene, tiled, interpret, worigin)
+        t, tri, inst = _run_dual(scene, tiled, interpret, worigin, wide)
         return Hit(
             t=_tiles_to_image(t, h, w),
             tri=_tiles_to_image(tri, h, w),
@@ -579,6 +710,6 @@ def cast_rays_dual(scene: SceneArrays, origin, directions, interpret=None):
             )
         srcs = [(flat_o, 0), (flat_o, 1), (flat_o, 2)] + srcs
     tiled = tuple(a[:, c].reshape(-1, TILE_S, TILE_L) for a, c in srcs)
-    t, tri, inst = _run_dual(scene, tiled, interpret, worigin)
+    t, tri, inst = _run_dual(scene, tiled, interpret, worigin, wide)
     unpack = lambda a: a.reshape(-1)[:r].reshape(shape)
     return Hit(t=unpack(t), tri=unpack(tri), inst=unpack(inst))

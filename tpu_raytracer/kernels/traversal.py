@@ -976,16 +976,24 @@ def _scene_vmem_bytes(scene: SceneArrays) -> int:
 
 
 def _dual_default() -> bool:
-    """TRT_DUAL=1 selects the dual-tile interleaved kernel
+    """TRT_DUAL=0 disables the dual-tile interleaved kernel
     (kernels/dual.py) — two independent packet traversals per grid step
-    sharing each scalar sync."""
-    return os.environ.get("TRT_DUAL", "0") == "1"
+    sharing each scalar sync. Default ON since the r3 A/B: 152.7 vs
+    145.1 Mrays/s on the 82k-tri 1080p flagship (separate leaf loops;
+    the fused-leaf variant measured 130.4 and stays off)."""
+    return os.environ.get("TRT_DUAL", "1") != "0"
 
 
 def _tlas_default() -> bool:
     """TRT_TLAS=0 disables the two-level TLAS routing for
     multi-instance scenes (kernels/tlas.py)."""
     return os.environ.get("TRT_TLAS", "1") != "0"
+
+
+def _wide4_default() -> bool:
+    """TRT_WIDE4=1 routes to the 4-wide collapsed-BVH kernel
+    (kernels/wide4.py) — A/B gate."""
+    return os.environ.get("TRT_WIDE4", "0") == "1"
 
 
 def _frustum_default() -> bool:
@@ -1041,10 +1049,6 @@ def cast_rays_pallas(scene: SceneArrays, origin, directions, interpret=None,
         frustum = _frustum_default()
     if bf16_box is None:
         bf16_box = _bf16_default()
-    if _dual_default() and not (frustum or bf16_box):
-        from .dual import cast_rays_dual
-
-        return cast_rays_dual(scene, origin, directions, interpret=interpret)
     if (
         scene.tlas is not None
         and scene.num_instances >= 2
@@ -1054,6 +1058,18 @@ def cast_rays_pallas(scene: SceneArrays, origin, directions, interpret=None,
         from .tlas import cast_rays_tlas
 
         return cast_rays_tlas(scene, origin, directions, interpret=interpret)
+    if (
+        scene.wide4 is not None
+        and _wide4_default()
+        and not (frustum or bf16_box)
+    ):
+        from .wide4 import cast_rays_wide4
+
+        return cast_rays_wide4(scene, origin, directions, interpret=interpret)
+    if _dual_default() and not (frustum or bf16_box):
+        from .dual import cast_rays_dual
+
+        return cast_rays_dual(scene, origin, directions, interpret=interpret)
     directions = jnp.asarray(directions, jnp.float32)
     origin = jnp.asarray(origin, jnp.float32)
     # Static uniform-origin detection: generate_rays returns a single

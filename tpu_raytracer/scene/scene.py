@@ -88,6 +88,10 @@ class SceneArrays:
     # Attached by Scene.compile for 2+ instances; refreshed by
     # update_instance on concrete arrays (dropped under tracing).
     tlas: object | None = None
+    # 4-wide collapsed BVH tables (kernels/wide4.py Wide4Tables) —
+    # the low-pop-count flagship kernel's input. Attached at compile
+    # for resident-size scenes; TRT_WIDE4 routes to it.
+    wide4: object | None = None
 
     @property
     def num_triangles(self) -> int:
@@ -125,7 +129,7 @@ class SceneArrays:
             f.name: np.asarray(getattr(self, f.name))
             for f in dataclasses.fields(self)
             # derived tables; rebuilt on demand after load
-            if f.name not in ("paged", "tlas")
+            if f.name not in ("paged", "tlas", "wide4")
         }
         np.savez_compressed(fp, **arrays)
 
@@ -152,6 +156,15 @@ class SceneArrays:
         if self.tlas is not None:
             return self
         return dataclasses.replace(self, tlas=build_tlas(self))
+
+    def with_wide4(self) -> "SceneArrays":
+        """Attach the 4-wide collapsed BVH tables (idempotent eager
+        host work — concrete arrays, outside jit)."""
+        from ..kernels.wide4 import build_wide4
+
+        if self.wide4 is not None:
+            return self
+        return dataclasses.replace(self, wide4=build_wide4(self))
 
     def needs_paging(self) -> bool:
         """True when the packed tables exceed the resident kernel's
@@ -418,6 +431,8 @@ class Scene:
         # with the reference's never-degrades residency (Scene.cpp:41-64).
         if auto_page and arrays.needs_paging():
             arrays = arrays.with_paging()
+        else:
+            arrays = arrays.with_wide4()
         if arrays.num_instances >= 2:
             arrays = arrays.with_tlas()
         return arrays
