@@ -77,9 +77,20 @@ FUSED_LEAVES = os.environ.get("TRT_DUAL_FUSED", "0") == "1"
 # Triangles per leaf-loop iteration (multiple of 8 = the packed row
 # width). 16 loads TWO rows per iteration — independent load->test
 # chains the scheduler can overlap, halving the serial leaf-iteration
-# count at min_leaf 16 (most leaves fit one iteration).
-LEAF_U = int(os.environ.get("TRT_LEAF_U", "8"))
+# count at min_leaf 16 (most leaves fit one iteration). Default 16
+# after the r3 sweep: 170.2 vs 158.0 Mrays/s at 8 on the 82k-tri
+# flagship (32 overshoots: 123.3; min_leaf 8/24/32 with matched widths
+# all land 162-166 — min_leaf 16 + LEAF_U 16 is the optimum).
+LEAF_U = int(os.environ.get("TRT_LEAF_U", "16"))
 assert LEAF_U % LEAF_UNROLL == 0
+
+# Per-row best-hit accumulators inside the leaf loop (TRT_LEAF_ACC=1):
+# each loaded row's 8 tests chain into a PRIVATE (t, tri, inst)
+# accumulator, merged once per loop exit by lexicographic (t, k) min —
+# bit-identical to the sequential chain (ties keep the smaller triangle
+# index, exactly like the sequential strict `t < t_b` update) while
+# cutting the cross-row serial dependency to one merge.
+LEAF_ACC = os.environ.get("TRT_LEAF_ACC", "0") == "1"
 
 # Per-tile stack size. Wide mode needs far more than the binary
 # kernel's 64: a 4-wide pop pushes up to 4 children (net +3 per level,
@@ -450,6 +461,24 @@ def _dual_kernel(num_instances, with_stats, uniform_o, smem_codes,
                 leaves.append(leaf[::-1])  # nearest-first
             return sp_out, leaves, pops
 
+        def _row_tests(w, kr, count_end, acc):
+            """Test one packed 8-triangle row into ``acc``."""
+            t_b, tri_b, in_b = acc
+            row_i = jnp.minimum(kr // REC_PER_ROW, tri_rows - 1)
+            row = trif_ref[pl.ds(row_i, 1), :]
+            rep = jnp.broadcast_to(row, (REC_LANES, TILE_L))
+            for u_ in range(LEAF_UNROLL):
+                k = kr + u_
+                mask = lane16 == u_ * REC_LANES + sub16  # static
+                vals = jnp.sum(
+                    jnp.where(mask, rep, 0.0), axis=1, keepdims=True
+                )
+                rec = vals + jnp.zeros((REC_LANES, TILE_L), jnp.float32)
+                t_b, tri_b, in_b = test_tri(
+                    w, rec, k, k < count_end, t_b, tri_b, in_b
+                )
+            return t_b, tri_b, in_b
+
         def single_leaf_loop(w, start, count, st):
             """One tile's leaf loop (TRT_DUAL_FUSED=0): no cross-tile
             fusion, so no max(nA,nB) overshoot waste — the A/B that
@@ -457,31 +486,58 @@ def _dual_kernel(num_instances, with_stats, uniform_o, smem_codes,
             LEAF_U > 8 issues multiple independent row loads per
             iteration (overshoot rows clamped in-bounds, tests masked
             by the count)."""
-
-            def quad_body(q, acc):
-                t_b, tri_b, in_b = acc
-                k0 = start + q * LEAF_U
-                for r in range(LEAF_U // REC_PER_ROW):
-                    kr = k0 + r * REC_PER_ROW
-                    row_i = jnp.minimum(kr // REC_PER_ROW, tri_rows - 1)
-                    row = trif_ref[pl.ds(row_i, 1), :]
-                    rep = jnp.broadcast_to(row, (REC_LANES, TILE_L))
-                    for u_ in range(LEAF_UNROLL):
-                        k = kr + u_
-                        mask = lane16 == u_ * REC_LANES + sub16  # static
-                        vals = jnp.sum(
-                            jnp.where(mask, rep, 0.0), axis=1, keepdims=True
-                        )
-                        rec = vals + jnp.zeros(
-                            (REC_LANES, TILE_L), jnp.float32
-                        )
-                        t_b, tri_b, in_b = test_tri(
-                            w, rec, k, k < start + count, t_b, tri_b, in_b
-                        )
-                return t_b, tri_b, in_b
-
+            n_rows = LEAF_U // REC_PER_ROW
             n_quads = (count + LEAF_U - 1) // LEAF_U
-            return jax.lax.fori_loop(0, n_quads, quad_body, st)
+
+            if not LEAF_ACC or n_rows == 1:
+                def quad_body(q, acc):
+                    k0 = start + q * LEAF_U
+                    for r in range(n_rows):
+                        acc = _row_tests(
+                            w, k0 + r * REC_PER_ROW, start + count, acc
+                        )
+                    return acc
+
+                return jax.lax.fori_loop(0, n_quads, quad_body, st)
+
+            # TRT_LEAF_ACC=1: each row parity chains into a PRIVATE
+            # accumulator — the rows' ~35-op test chains stay fully
+            # independent instead of serializing through one t_best.
+            # Exactness: within one leaf, test order == ascending k, so
+            # the sequential strict `t < t_b` update is the
+            # lexicographic (t, k) min; merging the fresh accumulators
+            # by that key and folding into the prior state with a
+            # strict t-compare reproduces it bit-for-bit (equal-t ties
+            # keep the earlier triangle / the pre-existing hit).
+            fresh = (
+                jnp.full((TILE_S, TILE_L), BIG, jnp.float32),
+                jnp.full((TILE_S, TILE_L), -1, jnp.int32),
+                jnp.full((TILE_S, TILE_L), -1, jnp.int32),
+            )
+
+            def quad_body_acc(q, accs):
+                k0 = start + q * LEAF_U
+                return tuple(
+                    _row_tests(w, k0 + r * REC_PER_ROW, start + count, accs[r])
+                    for r in range(n_rows)
+                )
+
+            accs = jax.lax.fori_loop(
+                0, n_quads, quad_body_acc, (fresh,) * n_rows
+            )
+            mt, mtri, mins = accs[0]
+            for t2, tri2, in2 in accs[1:]:
+                take = (t2 < mt) | ((t2 == mt) & (tri2 >= 0) & (tri2 < mtri))
+                mt = jnp.where(take, t2, mt)
+                mtri = jnp.where(take, tri2, mtri)
+                mins = jnp.where(take, in2, mins)
+            t0, tri0, in0 = st
+            take = mt < t0
+            return (
+                jnp.where(take, mt, t0),
+                jnp.where(take, mtri, tri0),
+                jnp.where(take, mins, in0),
+            )
 
         def dual_leaf_loop(sa, ca, sb, cb, sts):
             """Fused leaf loop: each iteration tests one 8-triangle row
