@@ -103,13 +103,17 @@ def _stack_sz(wide: bool) -> int:
 
 
 # SMEM layout: stack A | stack B | 2*POP_K code slots | 2*POP_K push
+# words | (wide only) two per-tile compacted leaf lists of 4*POP_K
+# (start, count) pairs each.
 def _smem_layout(wide: bool):
     s = _stack_sz(wide)
-    return 2 * s, 2 * s + 2 * POP_K, 2 * s + 4 * POP_K
+    leaf0 = 2 * s + 4 * POP_K
+    total = leaf0 + (16 * POP_K if wide else 0)
+    return 2 * s, 2 * s + 2 * POP_K, leaf0, total
 
 
 def _dual_kernel(num_instances, with_stats, uniform_o, smem_codes,
-                 tri_rows, wide, *refs):
+                 tri_rows, wide, flat_leaf, *refs):
     """``wide=True`` pops 4-wide collapsed nodes (accel/wide.py
     encoding: explicit child codes in SMEM, 32-lane box records) —
     combining the dual-tile sync sharing with the wide tree's ~3x
@@ -130,7 +134,7 @@ def _dual_kernel(num_instances, with_stats, uniform_o, smem_codes,
         t_out_ref, tri_out_ref, inst_out_ref, smem_ref = rest
 
     stack_sz = _stack_sz(wide)
-    _s_code, _s_push, _ = _smem_layout(wide)
+    _s_code, _s_push, _s_leaf, _ = _smem_layout(wide)
 
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_L), 1)
     lane16 = jax.lax.broadcasted_iota(jnp.int32, (REC_LANES, TILE_L), 1)
@@ -349,13 +353,17 @@ def _dual_kernel(num_instances, with_stats, uniform_o, smem_codes,
             # --- scalar phase (single combined stall, both tiles) ---
             sp_out = []
             leaves = []
+            nls = []
             pops = jnp.int32(0)
+            tadd = jnp.int32(0)
             for w in range(2):
                 spm = sps[w]
                 for j in range(POP_K):
                     spm = spm - acts[w][j]
                 sp_o = spm
                 base = w * stack_sz
+                lbase = _s_leaf + w * 8 * POP_K
+                nl = jnp.int32(0)
                 leaf = []
                 for j in reversed(range(POP_K)):
                     node, act = nodes[w][j], acts[w][j]
@@ -374,13 +382,37 @@ def _dual_kernel(num_instances, with_stats, uniform_o, smem_codes,
                         # id faults the record fetch (r3 TPU crash)
                         smem_ref[base + sp_o] = jnp.maximum(code, 0)
                         sp_o = sp_o + is_int
-                        packed = -code - 1
-                        lcount = (packed & MAX_LEAF_TRIS) * (active - is_int)
-                        pop_leaves.append((packed >> LEAF_BITS, lcount))
-                    leaf.extend(pop_leaves[::-1])
+                        if not flat_leaf:
+                            packed = -code - 1
+                            lcount = (packed & MAX_LEAF_TRIS) * (active - is_int)
+                            pop_leaves.append((packed >> LEAF_BITS, lcount))
+                    if flat_leaf:
+                        # second pass NEAREST-first: compact real leaves
+                        # into the dense per-tile list, same global
+                        # order as the non-flat python leaf list (pops
+                        # j=POP_K-1..0, nearest-first within each pop)
+                        for p in range(4):
+                            csel = (w_ >> (3 + 2 * p)) & 3
+                            active = (count > p).astype(jnp.int32)
+                            code = code_ref[4 * node + csel]
+                            is_leaf_ = ((code < 0).astype(jnp.int32)) * active
+                            packed = -code - 1
+                            lcount = (packed & MAX_LEAF_TRIS) * is_leaf_
+                            # unconditional write + conditional advance:
+                            # non-leaf slots scratch-write and are never
+                            # read (the drain is bounded by nl)
+                            smem_ref[lbase + 2 * nl] = packed >> LEAF_BITS
+                            smem_ref[lbase + 2 * nl + 1] = lcount
+                            nl = nl + (lcount > 0).astype(jnp.int32)
+                            tadd = tadd + lcount
+                    else:
+                        leaf.extend(pop_leaves[::-1])
                     pops = pops + act
                 sp_out.append(sp_o)
+                nls.append(nl)
                 leaves.append(leaf)  # nearest-first within each pop
+            if flat_leaf:
+                return sp_out, nls, pops, tadd
             return sp_out, leaves, pops
 
         def popk_dual(sps, t_bs):
@@ -539,6 +571,28 @@ def _dual_kernel(num_instances, with_stats, uniform_o, smem_codes,
                 jnp.where(take, mins, in0),
             )
 
+        def leaf_drain(w, nl, st):
+            """Flat-leaf drain (wide mode, static max_leaf <= LEAF_U):
+            ONE fori over the compacted leaf list replaces 4*POP_K
+            per-slot dynamic fori_loops — each of those is a Mosaic
+            loop construct whose scalar bound check serializes the
+            schedule even when the slot is empty. Every entry is a
+            straight-line LEAF_U-triangle block (no inner loop), valid
+            because no leaf in the tree exceeds LEAF_U triangles."""
+            lbase = _s_leaf + w * 8 * POP_K
+            n_rows = LEAF_U // REC_PER_ROW
+
+            def entry_body(q, acc):
+                start = smem_ref[lbase + 2 * q]
+                count = smem_ref[lbase + 2 * q + 1]
+                for r_ in range(n_rows):
+                    acc = _row_tests(
+                        w, start + r_ * REC_PER_ROW, start + count, acc
+                    )
+                return acc
+
+            return jax.lax.fori_loop(0, nl, entry_body, st)
+
         def dual_leaf_loop(sa, ca, sb, cb, sts):
             """Fused leaf loop: each iteration tests one 8-triangle row
             for tile A and one for tile B (independent load->extract->
@@ -581,6 +635,13 @@ def _dual_kernel(num_instances, with_stats, uniform_o, smem_codes,
 
         def body(carry):
             spA, spB, stA, stB, np_, nt_ = carry
+            if wide and flat_leaf:
+                sps, nls, pops, tadd = popk_dual_wide(
+                    (spA, spB), (stA[0], stB[0])
+                )
+                stA = leaf_drain(0, nls[0], stA)
+                stB = leaf_drain(1, nls[1], stB)
+                return sps[0], sps[1], stA, stB, np_ + pops, nt_ + tadd
             pop_fn = popk_dual_wide if wide else popk_dual
             sps, leaves, pops = pop_fn((spA, spB), (stA[0], stB[0]))
             nt = nt_
@@ -643,12 +704,19 @@ def _run_dual(scene: SceneArrays, tiled, interpret: bool, worigin=None,
     (inst_tab, inst_root), (code_arr, nodef), (trif,) = _scene_kernel_inputs(
         scene, bf16_box=False, smem_codes=smem_codes
     )
+    flat_leaf = False
     if wide:
         tables = scene.wide4
         code_arr = tables.wcode  # [4W] i32, SMEM-resident
         nodef = tables.wnodef  # 32-lane records
         inst_root = tables.wroot[scene.inst_mesh]
         smem_codes = True
+        # compacted leaf drain: valid only when the STATIC max leaf
+        # count fits one LEAF_U block (true at the default min_leaf 16)
+        flat_leaf = (
+            tables.max_leaf <= LEAF_U
+            and os.environ.get("TRT_LEAF_COMPACT", "1") != "0"
+        )
     with_stats = _stats_enabled()
 
     ray_spec = pl.BlockSpec(
@@ -683,7 +751,7 @@ def _run_dual(scene: SceneArrays, tiled, interpret: bool, worigin=None,
     out_shape = (f32s, i32s, i32s) + ((i32s, i32s) if with_stats else ())
     kernel = functools.partial(
         _dual_kernel, scene.num_instances, with_stats, uniform_o,
-        smem_codes, trif.shape[0], wide,
+        smem_codes, trif.shape[0], wide, flat_leaf,
     )
     outs = pl.pallas_call(
         kernel,
@@ -691,7 +759,7 @@ def _run_dual(scene: SceneArrays, tiled, interpret: bool, worigin=None,
         in_specs=in_specs,
         out_specs=(ray_spec,) * len(out_shape),
         out_shape=out_shape,
-        scratch_shapes=[pltpu.SMEM((_smem_layout(wide)[2],), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((_smem_layout(wide)[3],), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),

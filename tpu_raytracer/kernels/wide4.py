@@ -92,6 +92,12 @@ class Wide4Tables:
     wcode: jax.Array  # [4*W] i32 (SMEM)
     wnodef: jax.Array  # [ceil(W/4), 128] f32 32-lane records
     wroot: jax.Array  # [M] i32
+    # Largest leaf triangle count in the tree (STATIC: lets the kernel
+    # replace the per-leaf dynamic fori_loop with one straight-line
+    # LEAF_U-triangle block when max_leaf <= LEAF_U).
+    max_leaf: int = dataclasses.field(
+        default=MAX_LEAF_TRIS, metadata=dict(static=True)
+    )
 
 
 def build_wide4(scene: SceneArrays) -> Wide4Tables:
@@ -120,10 +126,13 @@ def build_wide4(scene: SceneArrays) -> Wide4Tables:
         rec[:, j] = f
     pad = (-n) % REC32_PER_ROW + REC32_PER_ROW
     rec = np.concatenate([rec, np.zeros((pad, REC32), np.float32)])
+    is_leaf = np.asarray(scene.node_child_a) < 0
+    counts = np.asarray(scene.node_leaf_count)[is_leaf]
     return Wide4Tables(
         wcode=jnp.asarray(w.wcode),
         wnodef=jnp.asarray(rec.reshape(-1, TILE_L)),
         wroot=jnp.asarray(w.wroot),
+        max_leaf=int(counts.max()) if counts.size else 0,
     )
 
 
