@@ -107,3 +107,43 @@ def test_fly_through_generates_poses():
     poses = list(controls.fly_through(np.zeros(6, np.float32), 5))
     assert len(poses) == 5
     assert poses[-1][1] > poses[0][1] - 1e-6  # moved forward-ish
+
+
+def test_interactive_scripted_loop(tmp_path):
+    """The interactive event loop (app/interactive.py) in headless
+    scripted mode: keys drive the camera between frames (the
+    reference's disabled WASD/orbit path, kernel.cu:51-139) and the
+    loop exits cleanly on 'x'."""
+    from tpu_raytracer.app import interactive
+
+    out = str(tmp_path / "shot.png")
+    img = interactive.run_interactive(
+        scene_name="cube", width=32, height=32, backend="brute",
+        keys=iter("wwjpx"), out=out,
+    )
+    assert img is not None and img.shape == (32, 32, 3)
+    import os
+    assert os.path.exists(out)
+
+
+def test_interactive_apply_key_pure():
+    from tpu_raytracer.app.interactive import apply_key
+
+    pose = np.zeros(6, np.float32)
+    fwd, act = apply_key(pose, "w", speed=0.5)
+    assert act is None and abs(fwd[1] - 0.5) < 1e-6  # y-forward
+    turned, _ = apply_key(pose, "l")
+    assert turned[3] > 0  # yaw+
+    _, act = apply_key(pose, "x")
+    assert act == "quit"
+
+
+def test_ansi_preview_shape():
+    from tpu_raytracer.app.interactive import ansi_preview
+
+    img = np.zeros((64, 64, 3), np.uint8)
+    img[:32] = (255, 0, 0)
+    s = ansi_preview(img, cols=16)
+    lines = s.split("\n")
+    assert len(lines) == 8  # 16 preview rows (cols * h/w), two per line
+    assert "38;2;255;0;0" in lines[0] and "38;2;0;0;0" in lines[-1]

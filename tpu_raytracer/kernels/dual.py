@@ -92,6 +92,10 @@ assert LEAF_U % LEAF_UNROLL == 0
 # cutting the cross-row serial dependency to one merge.
 LEAF_ACC = os.environ.get("TRT_LEAF_ACC", "0") == "1"
 
+# Fuse the two tiles' compacted leaf drains into one fori bounded by
+# max(nlA, nlB) (TRT_DRAIN_FUSED=1). A/B knob, see leaf_drain_fused.
+DRAIN_FUSED = os.environ.get("TRT_DRAIN_FUSED", "0") == "1"
+
 # Per-tile stack size. Wide mode needs far more than the binary
 # kernel's 64: a 4-wide pop pushes up to 4 children (net +3 per level,
 # vs +1 binary) and POP_K=2 adds up to +6 transiently — an overflow
@@ -593,6 +597,39 @@ def _dual_kernel(num_instances, with_stats, uniform_o, smem_codes,
 
             return jax.lax.fori_loop(0, nl, entry_body, st)
 
+        def leaf_drain_fused(nls, stA, stB):
+            """Fused flat-leaf drain: ONE fori bounded by max(nlA, nlB)
+            whose iteration runs both tiles' entries — 2*n_rows
+            independent row chains per step, halving the serial drain
+            steps when the tiles' leaf counts are balanced. Unlike the
+            row-level FUSED_LEAVES loss (max over every pop slot), the
+            overshoot here is only |nlA - nlB| entries per sync.
+            Overshoot slots can hold STALE entries from earlier syncs
+            (the compaction scratch-writes unconditionally), so their
+            tests are masked via count=0 — extra tests would be
+            geometrically valid but can shift exact-t tie winners."""
+            n_rows = LEAF_U // REC_PER_ROW
+
+            def entry_body(q, accs):
+                outs = []
+                for w in range(2):
+                    lbase = _s_leaf + w * 8 * POP_K
+                    start = smem_ref[lbase + 2 * q]
+                    count = smem_ref[lbase + 2 * q + 1] * (
+                        (q < nls[w]).astype(jnp.int32)
+                    )
+                    acc = accs[w]
+                    for r_ in range(n_rows):
+                        acc = _row_tests(
+                            w, start + r_ * REC_PER_ROW, start + count, acc
+                        )
+                    outs.append(acc)
+                return outs[0], outs[1]
+
+            return jax.lax.fori_loop(
+                0, jnp.maximum(nls[0], nls[1]), entry_body, (stA, stB)
+            )
+
         def dual_leaf_loop(sa, ca, sb, cb, sts):
             """Fused leaf loop: each iteration tests one 8-triangle row
             for tile A and one for tile B (independent load->extract->
@@ -639,8 +676,11 @@ def _dual_kernel(num_instances, with_stats, uniform_o, smem_codes,
                 sps, nls, pops, tadd = popk_dual_wide(
                     (spA, spB), (stA[0], stB[0])
                 )
-                stA = leaf_drain(0, nls[0], stA)
-                stB = leaf_drain(1, nls[1], stB)
+                if DRAIN_FUSED:
+                    stA, stB = leaf_drain_fused(nls, stA, stB)
+                else:
+                    stA = leaf_drain(0, nls[0], stA)
+                    stB = leaf_drain(1, nls[1], stB)
                 return sps[0], sps[1], stA, stB, np_ + pops, nt_ + tadd
             pop_fn = popk_dual_wide if wide else popk_dual
             sps, leaves, pops = pop_fn((spA, spB), (stA[0], stB[0]))
