@@ -33,14 +33,14 @@ import os
 
 import numpy as np
 
-# Page capacities (rows are 128 lanes x 4 bytes). With min_leaf 16 a
-# 2048-triangle subtree has ~300 nodes, so PAGE_NODES rarely binds; the
-# VMEM cost per buffered page is TRI_ROWS + NODE_ROWS + CODE_ROWS
-# ~ (257 + 129 + 9) rows ~ 200KB (x2 for the double buffer).
-# TRT_PAGE_TRIS/TRT_PAGE_NODES override for page-size sweeps: the r3
-# 1.28M-tri A/B showed per-page fixed cost (portal walk + DMA switch)
-# dominating at 903 pages, so bigger pages amortize better.
-PAGE_TRIS = int(os.environ.get("TRT_PAGE_TRIS", "2048"))
+# Page capacities (rows are 128 lanes x 4 bytes). The VMEM cost per
+# buffered page at the 8192-tri default is ~(1032 + 520 + 9) rows
+# ~ 780KB (x2 for the double buffer) — trivial against the ~128MB
+# budget. TRT_PAGE_TRIS/TRT_PAGE_NODES override for page-size sweeps.
+# Default sized by the r3 1.28M-tri A/B: per-page fixed cost (portal
+# walk + DMA switch) dominated at 2048-tri/903 pages (18.6 Mrays/s);
+# 8192-tri/207 pages reads 25.6 and 16384 is flat (25.7) — the knee.
+PAGE_TRIS = int(os.environ.get("TRT_PAGE_TRIS", "8192"))
 PAGE_NODES = int(os.environ.get("TRT_PAGE_NODES", str(max(PAGE_TRIS // 2, 1024))))
 
 

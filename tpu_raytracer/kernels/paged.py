@@ -544,10 +544,23 @@ class PagedTables:
     gcode: jax.Array  # [*, 128] i32 global control words (HBM-resident)
     gnodef: jax.Array  # [*, 128] f32 global node records
     gtrif: jax.Array  # [*, 128] f32 global triangle records
+    # Optional per-page 4-WIDE collapse (kernels/paged_wide.py): each
+    # page's subtree re-collapsed into a page-LOCAL wide layout stored
+    # at a fixed row stride, so one page = one fixed-size DMA window.
+    # None when the wide build is disabled (TRT_PAGED_WIDE=0).
+    pwcode: jax.Array | None = None  # [P*wcode_rows, 128] i32
+    pwnodef: jax.Array | None = None  # [P*wnode_rows, 128] f32
+    # static row strides per page (compile-time buffer capacities)
+    wcode_rows: int = dataclasses.field(default=0, metadata=dict(static=True))
+    wnode_rows: int = dataclasses.field(default=0, metadata=dict(static=True))
 
     @property
     def num_pages(self) -> int:
         return self.page_tab.shape[0]
+
+    @property
+    def has_wide(self) -> bool:
+        return self.pwcode is not None
 
 
 def _pad_rows(a: jax.Array, rows: int, fill) -> jax.Array:
@@ -565,21 +578,97 @@ _PAGE_CACHE: dict = {}
 _PAGE_CACHE_MAX = 4
 
 
+def _paged_wide_default() -> bool:
+    import os
+
+    return os.environ.get("TRT_PAGED_WIDE", "1") == "1"
+
+
+def _build_page_wide(pt: PageTable, child_a, child_b, leaf_start,
+                     leaf_count, node_min, node_max):
+    """Collapse every page's binary subtree into a page-LOCAL 4-wide
+    layout (accel/wide.py collapse4 semantics) packed at a fixed row
+    stride, so the paged-wide kernel (kernels/paged_wide.py) can DMA
+    one fixed-size window per page. Node ids inside a page's wcode are
+    page-local wide ids (root = 0); leaf codes carry PAGE-LOCAL
+    triangle starts (+ page_tri0 at decode, same rebasing as the
+    binary paged path). Returns (pwcode, pwnodef, wcode_rows,
+    wnode_rows) as numpy."""
+    from ..accel.paging import _subtree_extents
+    from ..accel.wide import collapse4
+    from .wide4 import REC32, REC32_PER_ROW
+
+    size, _, _ = _subtree_extents(child_a, child_b, leaf_start, leaf_count)
+    is_leaf = child_a < 0
+    pages = []
+    w_max = 1
+    for p in range(pt.num_pages):
+        n0 = int(pt.page_node0[p])
+        t0 = int(pt.page_tri0[p])
+        sl = slice(n0, n0 + int(size[n0]))
+        ca = child_a[sl]
+        cb = child_b[sl]
+        lf = is_leaf[sl]
+        w = collapse4(
+            np.where(lf, ca, ca - n0),
+            np.where(lf, cb, cb - n0),
+            np.where(lf, leaf_start[sl] - t0, 0),
+            leaf_count[sl],
+            node_min[sl],
+            node_max[sl],
+            np.zeros(1, np.int64),
+        )
+        pages.append(w)
+        w_max = max(w_max, w.num_nodes)
+    wnode_rows = _round8(-(-w_max // REC32_PER_ROW))
+    wcode_rows = _round8(-(-(4 * w_max) // TILE_L))
+    n_pages = pt.num_pages
+    pwcode = np.full((n_pages * wcode_rows, TILE_L), -1, np.int32)
+    pwnodef = np.zeros((n_pages * wnode_rows, TILE_L), np.float32)
+    for p, w in enumerate(pages):
+        n = w.num_nodes
+        rec = np.zeros((n, REC32), np.float32)
+        for c in range(4):
+            mn = w.wbox_min[:, c] - np.float32(NUDGE)
+            mx = w.wbox_max[:, c] + np.float32(NUDGE)
+            for j in range(3):
+                rec[:, 6 * c + j] = mn[:, j]
+                rec[:, 6 * c + 3 + j] = mx[:, j]
+        pad_n = (-n) % REC32_PER_ROW
+        if pad_n:
+            rec = np.concatenate([rec, np.zeros((pad_n, REC32), np.float32)])
+        rows = rec.reshape(-1, TILE_L)
+        pwnodef[p * wnode_rows : p * wnode_rows + rows.shape[0]] = rows
+        codes = w.wcode
+        pad_c = (-len(codes)) % TILE_L
+        if pad_c:
+            codes = np.concatenate([codes, np.full(pad_c, -1, np.int32)])
+        crows = codes.reshape(-1, TILE_L)
+        pwcode[p * wcode_rows : p * wcode_rows + crows.shape[0]] = crows
+    return pwcode, pwnodef, wcode_rows, wnode_rows
+
+
 def prepare_paged(scene: SceneArrays, page_tris: int = PAGE_TRIS,
-                  page_nodes: int = PAGE_NODES) -> PagedTables:
+                  page_nodes: int = PAGE_NODES,
+                  wide: bool | None = None) -> PagedTables:
     """Build (and cache) the page partition + packed tables for a
     compiled scene. EAGER host work — call outside jit; the result is a
     pytree to pass into the jitted paged render path.
 
     ``page_tris``/``page_nodes`` may be lowered (never raised — the
     kernel's buffer capacities are compile-time constants sized for the
-    defaults) to force many small pages, e.g. in tests."""
+    defaults) to force many small pages, e.g. in tests. ``wide``
+    additionally builds the per-page 4-wide tables for the paged-wide
+    kernel (default: the TRT_PAGED_WIDE routing default)."""
     if page_tris > PAGE_TRIS or page_nodes > PAGE_NODES:
         raise ValueError("page cut sizes cannot exceed the buffer capacity")
+    if wide is None:
+        wide = _paged_wide_default()
     if (scene.paged is not None and page_tris == PAGE_TRIS
-            and page_nodes == PAGE_NODES):
+            and page_nodes == PAGE_NODES
+            and (scene.paged.has_wide or not wide)):
         return scene.paged  # already attached (Scene.compile auto-page)
-    key = (id(scene.node_child_a), page_tris, page_nodes)
+    key = (id(scene.node_child_a), page_tris, page_nodes, wide)
     hit = _PAGE_CACHE.get(key)
     if hit is not None and hit[0] is scene.node_child_a:
         _PAGE_CACHE[key] = _PAGE_CACHE.pop(key)  # refresh LRU order
@@ -640,6 +729,24 @@ def prepare_paged(scene: SceneArrays, page_tris: int = PAGE_TRIS,
         [jnp.asarray(f) for f in fields], pt.num_top_nodes
     )
 
+    wide_kw: dict = {}
+    if wide:
+        pwcode, pwnodef, wcode_rows, wnode_rows = _build_page_wide(
+            pt,
+            np.asarray(scene.node_child_a),
+            np.asarray(scene.node_child_b),
+            np.asarray(scene.node_leaf_start),
+            np.asarray(scene.node_leaf_count),
+            np.asarray(scene.node_min),
+            np.asarray(scene.node_max),
+        )
+        wide_kw = dict(
+            pwcode=jnp.asarray(pwcode),
+            pwnodef=jnp.asarray(pwnodef),
+            wcode_rows=wcode_rows,
+            wnode_rows=wnode_rows,
+        )
+
     tables = PagedTables(
         top_root=jnp.asarray(pt.top_root),
         page_tab=jnp.asarray(
@@ -650,6 +757,7 @@ def prepare_paged(scene: SceneArrays, page_tris: int = PAGE_TRIS,
         gcode=_pad_rows(code_arr, CODE_ROWS, -1),
         gnodef=_pad_rows(nodef, NODE_ROWS, 0.0),
         gtrif=_pad_rows(trif, TRI_ROWS, 0.0),
+        **wide_kw,
     )
     while len(_PAGE_CACHE) >= _PAGE_CACHE_MAX:
         _PAGE_CACHE.pop(next(iter(_PAGE_CACHE)))
@@ -753,8 +861,18 @@ _PAGED_STATS: dict = {}
 def cast_rays_paged(scene: SceneArrays, tables: PagedTables, origin,
                     directions, interpret=None):
     """Nearest-hit query with the HBM-paged packet kernel. Same Hit
-    record and ray-layout handling as cast_rays_pallas."""
+    record and ray-layout handling as cast_rays_pallas. Routes to the
+    paged-WIDE kernel when the tables carry the per-page 4-wide
+    collapse (default; TRT_PAGED_WIDE=0 forces the binary in-page
+    loop)."""
     from ..render.renderer import Hit  # local: avoids cycle
+
+    if tables.has_wide and _paged_wide_default():
+        from .paged_wide import cast_rays_paged_wide
+
+        return cast_rays_paged_wide(
+            scene, tables, origin, directions, interpret=interpret
+        )
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
