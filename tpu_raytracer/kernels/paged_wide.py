@@ -63,6 +63,7 @@ from .traversal import (
     _quat_rot,
     _stats_enabled,
     _tiles_to_image,
+    make_test_tri,
     T,
 )
 from .paged import TRI_ROWS, PagedTables, _PAGED_STATS
@@ -71,6 +72,14 @@ from .wide4 import REC32, REC32_PER_ROW, STACK_W
 # Wide pops per scalar sync in-page (the resident wide kernel's POP_KW;
 # measured best = 2 there, same default here).
 POP_KW = int(os.environ.get("TRT_PAGED_WIDE_POPK", "2"))
+
+# Triangles per leaf-loop iteration. The r3 stats breakdown showed leaf
+# ROW iterations dominate the paged kernel's serial steps (92 of ~175
+# per tile on the 1.28M colonnade); 16 issues two independent row loads
+# per iteration — one iteration covers a whole min_leaf=16 leaf, same
+# as the resident kernel's LEAF_U=16 default (+7% there).
+LEAF_UP = int(os.environ.get("TRT_PAGED_LEAF_U", "16"))
+assert LEAF_UP % LEAF_UNROLL == 0
 
 # nodes per 128-lane code row (4 child words per wide node)
 _NODES_PER_CROW = TILE_L // 4
@@ -118,7 +127,8 @@ def _paged_wide_kernel(num_instances, with_stats, uniform_o, wcode_rows,
         rest = refs[14:]
     if with_stats:
         (t_out_ref, tri_out_ref, inst_out_ref, pops_ref, tests_ref,
-         smem_ref, wcbuf_ref, wnbuf_ref, tribuf_ref, sem_ref) = rest
+         pages_ref, smem_ref, wcbuf_ref, wnbuf_ref, tribuf_ref,
+         sem_ref) = rest
     else:
         (t_out_ref, tri_out_ref, inst_out_ref,
          smem_ref, wcbuf_ref, wnbuf_ref, tribuf_ref, sem_ref) = rest
@@ -156,6 +166,8 @@ def _paged_wide_kernel(num_instances, with_stats, uniform_o, wcode_rows,
     )
     n_pops = jnp.int32(0)
     n_tests = jnp.int32(0)
+    # stats word: page visits (low 16 bits) + top-tree pops (high bits)
+    n_pages = jnp.int32(0)
 
     for i in range(num_instances):
         qw = inst_tab_ref[i, 0]
@@ -214,74 +226,52 @@ def _paged_wide_kernel(num_instances, with_stats, uniform_o, wcode_rows,
             hit = (far >= near) & (far > 0.0) & (near < t_cap)
             return jnp.min(jnp.where(hit, near, BIG))
 
-        def test_tri(rec, k, live, t_b, tri_b, in_b):
-            """Identical math to every other kernel's test_tri."""
-            ax = rec[0:1, :]
-            ay = rec[1:2, :]
-            az = rec[2:3, :]
-            nx = rec[3:4, :]
-            ny = rec[4:5, :]
-            nz = rec[5:6, :]
-            e0x = rec[6:7, :]
-            e0y = rec[7:8, :]
-            e0z = rec[8:9, :]
-            e1x = rec[9:10, :]
-            e1y = rec[10:11, :]
-            e1z = rec[11:12, :]
-            dot00 = rec[12:13, :]
-            dot01 = rec[13:14, :]
-            dot11 = rec[14:15, :]
-            inv_den = rec[15:16, :]
-            denom = odx * nx + ody * ny + odz * nz
-            safe = jnp.where(jnp.abs(denom) < PARALLEL_EPS, 1.0, denom)
-            t = ((ax - oox) * nx + (ay - ooy) * ny + (az - ooz) * nz) / safe
-            pxl = oox + t * odx
-            pyl = ooy + t * ody
-            pzl = ooz + t * odz
-            e2x, e2y, e2z = pxl - ax, pyl - ay, pzl - az
-            dot02 = e0x * e2x + e0y * e2y + e0z * e2z
-            dot12 = e1x * e2x + e1y * e2y + e1z * e2z
-            u = (dot11 * dot02 - dot01 * dot12) * inv_den
-            v = (dot00 * dot12 - dot01 * dot02) * inv_den
-            ok = (
-                live
-                & (denom <= -PARALLEL_EPS)
-                & (t >= 0.0)
-                & (u >= -EDGE_EPS)
-                & (v >= -EDGE_EPS)
-                & (u + v <= 1.0 + EDGE_EPS)
-                & (t < t_b)
-            )
-            return (
-                jnp.where(ok, t, t_b),
-                jnp.where(ok, k, tri_b),
-                jnp.where(ok, i, in_b),
-            )
+        # identical math to every other kernel (traversal.make_test_tri)
+        test_tri = make_test_tri(
+            (oox, ooy, ooz), (odx, ody, odz),
+            None if num_instances == 1 else i,
+        )
 
-        def leaf_loop(start, count, st, trow0):
+        def leaf_loop(start, count, st, trow_page, srow):
             """Dense triangle tests from the page buffer; ``start`` is
-            GLOBAL (already rebased +tri0) so hit tri ids are global,
-            and ``trow0`` folds both the page base row and the buffer
-            half offset."""
+            GLOBAL (already rebased +tri0) so hit tri ids are global.
+            ``trow_page`` is the page's base triangle row, ``srow`` the
+            buffer half's base row. LEAF_UP > 8 issues multiple
+            INDEPENDENT row loads per fori iteration (overshoot rows
+            clamped inside the page window, tests masked by count) —
+            leaf-row iterations are the paged kernel's dominant serial
+            step (r3 stats: 92 of ~175 per tile)."""
 
-            def quad_body(q, acc):
+            def row_tests(kr, count_end, acc):
                 t_b, tri_b, in_b = acc
-                k0 = start + q * LEAF_UNROLL
-                row = tribuf_ref[pl.ds(k0 // REC_PER_ROW - trow0, 1), :]
+                row_i = jnp.minimum(
+                    kr // REC_PER_ROW - trow_page, TRI_ROWS - 1
+                ) + srow
+                row = tribuf_ref[pl.ds(row_i, 1), :]
                 rep = jnp.broadcast_to(row, (REC_LANES, TILE_L))
                 for u_ in range(LEAF_UNROLL):
-                    k = k0 + u_
+                    k = kr + u_
                     mask = lane16 == u_ * REC_LANES + sub16  # static
                     vals = jnp.sum(
                         jnp.where(mask, rep, 0.0), axis=1, keepdims=True
                     )
                     rec = vals + jnp.zeros((REC_LANES, TILE_L), jnp.float32)
                     t_b, tri_b, in_b = test_tri(
-                        rec, k, k < start + count, t_b, tri_b, in_b
+                        rec, k, k < count_end, t_b, tri_b, in_b
                     )
                 return t_b, tri_b, in_b
 
-            n_quads = (count + LEAF_UNROLL - 1) // LEAF_UNROLL
+            n_rows = LEAF_UP // LEAF_UNROLL
+
+            def quad_body(q, acc):
+                k0 = start + q * LEAF_UP
+                for r_ in range(n_rows):
+                    acc = row_tests(
+                        k0 + r_ * REC_PER_ROW, start + count, acc
+                    )
+                return acc
+
+            n_quads = (count + LEAF_UP - 1) // LEAF_UP
             return jax.lax.fori_loop(0, n_quads, quad_body, st)
 
         def pop1_top(sp, t_b):
@@ -318,20 +308,21 @@ def _paged_wide_kernel(num_instances, with_stats, uniform_o, wcode_rows,
             sp_out = sp_out + p_second
             return sp_out, code
 
-        def next_portal(sp, t_b, np_):
+        def next_portal(sp, t_b, npg):
             """Walk the top tree until the next portal leaf pops or the
-            stack empties. Returns (sp', page id or -1, pop count)."""
+            stack empties. Returns (sp', page id or -1, stats word with
+            top pops accumulated into the HIGH half)."""
 
             def cond(c):
                 return (c[0] > 0) & (c[1] < 0)
 
             def body(c):
-                sp, _, np_ = c
+                sp, _, npg = c
                 sp, code = pop1_top(sp, t_b)
                 pid = jnp.where(code < 0, -code - 1, jnp.int32(-1))
-                return sp, pid, np_ + 1
+                return sp, pid, npg + (1 << 16)
 
-            return jax.lax.while_loop(cond, body, (sp, jnp.int32(-1), np_))
+            return jax.lax.while_loop(cond, body, (sp, jnp.int32(-1), npg))
 
         def _page_copies(pid, slot):
             """Three HBM->VMEM copies for page ``pid`` into buffer half
@@ -365,7 +356,8 @@ def _paged_wide_kernel(num_instances, with_stats, uniform_o, wcode_rows,
             tri0 = page_tab_ref[pid, 1]
             crow0 = slot * wcode_rows  # buffer base rows (ADD: local ids)
             nrow0 = slot * wnode_rows
-            trow0 = tri0 // REC_PER_ROW - slot * TRI_ROWS
+            trow_page = tri0 // REC_PER_ROW
+            srow = slot * TRI_ROWS
 
             smem_ref[_PSTACK] = 0  # page-local wide root
 
@@ -444,7 +436,7 @@ def _paged_wide_kernel(num_instances, with_stats, uniform_o, wcode_rows,
 
                 nt = nt_
                 for s_, c_ in leaf:
-                    state = leaf_loop(s_, c_, state, trow0)
+                    state = leaf_loop(s_, c_, state, trow_page, srow)
                     nt = nt + c_
                 return sp_out, state, np_ + pops, nt
 
@@ -456,7 +448,7 @@ def _paged_wide_kernel(num_instances, with_stats, uniform_o, wcode_rows,
         # --- double-buffered page pipeline (kernels/paged.py) ----------
         root = inst_root_ref[i]
         smem_ref[0] = root
-        sp0, pid0, n_pops = next_portal(jnp.int32(1), best[0], n_pops)
+        sp0, pid0, n_pages = next_portal(jnp.int32(1), best[0], n_pages)
 
         @pl.when(pid0 >= 0)
         def _():
@@ -464,8 +456,8 @@ def _paged_wide_kernel(num_instances, with_stats, uniform_o, wcode_rows,
                 cp.start()
 
         def outer_body(c):
-            sp, pid_cur, slot, state, np_, nt_ = c
-            sp, pid_next, np_ = next_portal(sp, state[0], np_)
+            sp, pid_cur, slot, state, np_, nt_, npg = c
+            sp, pid_next, npg = next_portal(sp, state[0], npg)
             for cp in _page_copies(pid_cur, slot):
                 cp.wait()
 
@@ -475,13 +467,15 @@ def _paged_wide_kernel(num_instances, with_stats, uniform_o, wcode_rows,
                     cp.start()
 
             state, np_, nt_ = traverse_page(pid_cur, slot, (state, np_, nt_))
-            return sp, pid_next, 1 - slot, state, np_, nt_
+            return sp, pid_next, 1 - slot, state, np_, nt_, npg + 1
 
-        carry = (sp0, pid0, jnp.int32(0), best, n_pops, n_tests)
+        carry = (sp0, pid0, jnp.int32(0), best, n_pops, n_tests, n_pages)
         carry = jax.lax.while_loop(lambda c: c[1] >= 0, outer_body, carry)
-        _, _, _, best, n_pops, n_tests = carry
+        _, _, _, best, n_pops, n_tests, n_pages = carry
 
     t_b, tri_b, in_b = best
+    if num_instances == 1:
+        in_b = jnp.where(tri_b >= 0, 0, in_b)
     t_out_ref[0] = jnp.where(t_b >= BIG, _FLT_MAX, t_b)
     tri_out_ref[0] = tri_b
     inst_out_ref[0] = in_b
@@ -489,6 +483,7 @@ def _paged_wide_kernel(num_instances, with_stats, uniform_o, wcode_rows,
         zeros = jnp.zeros((TILE_S, TILE_L), jnp.int32)
         pops_ref[0] = zeros + n_pops
         tests_ref[0] = zeros + n_tests
+        pages_ref[0] = zeros + n_pages
 
 
 def _run_paged_wide(scene: SceneArrays, tables: PagedTables, tiled,
@@ -549,7 +544,9 @@ def _run_paged_wide(scene: SceneArrays, tables: PagedTables, tiled,
         )
     f32s = jax.ShapeDtypeStruct((n_tiles, TILE_S, TILE_L), jnp.float32)
     i32s = jax.ShapeDtypeStruct((n_tiles, TILE_S, TILE_L), jnp.int32)
-    out_shape = (f32s, i32s, i32s) + ((i32s, i32s) if with_stats else ())
+    out_shape = (f32s, i32s, i32s) + (
+        (i32s, i32s, i32s) if with_stats else ()
+    )
     kernel = functools.partial(
         _paged_wide_kernel, scene.num_instances, with_stats, uniform_o,
         tables.wcode_rows, tables.wnode_rows,
@@ -574,9 +571,11 @@ def _run_paged_wide(scene: SceneArrays, tables: PagedTables, tiled,
         interpret=interpret,
     )(*inputs)
     if with_stats:
-        t, tri, inst, pops, tests = outs
+        t, tri, inst, pops, tests, pages = outs
         _PAGED_STATS["pops"] = pops[:, 0, 0]
         _PAGED_STATS["tests"] = tests[:, 0, 0]
+        _PAGED_STATS["pages"] = pages[:, 0, 0] & 0xFFFF
+        _PAGED_STATS["top_pops"] = pages[:, 0, 0] >> 16
     else:
         t, tri, inst = outs
     return t, tri, inst

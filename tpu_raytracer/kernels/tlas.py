@@ -70,6 +70,7 @@ from .traversal import (
     _scene_kernel_inputs,
     _stats_enabled,
     _tiles_to_image,
+    make_test_tri,
     T,
 )
 
@@ -247,48 +248,9 @@ def _tlas_kernel(with_stats, uniform_o, smem_codes, *refs):
         oox, ooy, ooz = oox * sx, ooy * sy, ooz * sz
         idx_, idy_, idz_ = _inv(odx), _inv(ody), _inv(odz)
 
-        def test_tri(rec, k, live, t_b, tri_b, in_b):
-            ax = rec[0:1, :]
-            ay = rec[1:2, :]
-            az = rec[2:3, :]
-            nx = rec[3:4, :]
-            ny = rec[4:5, :]
-            nz = rec[5:6, :]
-            e0x = rec[6:7, :]
-            e0y = rec[7:8, :]
-            e0z = rec[8:9, :]
-            e1x = rec[9:10, :]
-            e1y = rec[10:11, :]
-            e1z = rec[11:12, :]
-            dot00 = rec[12:13, :]
-            dot01 = rec[13:14, :]
-            dot11 = rec[14:15, :]
-            inv_den = rec[15:16, :]
-            denom = odx * nx + ody * ny + odz * nz
-            safe = jnp.where(jnp.abs(denom) < PARALLEL_EPS, 1.0, denom)
-            t = ((ax - oox) * nx + (ay - ooy) * ny + (az - ooz) * nz) / safe
-            pxl = oox + t * odx
-            pyl = ooy + t * ody
-            pzl = ooz + t * odz
-            e2x, e2y, e2z = pxl - ax, pyl - ay, pzl - az
-            dot02 = e0x * e2x + e0y * e2y + e0z * e2z
-            dot12 = e1x * e2x + e1y * e2y + e1z * e2z
-            u = (dot11 * dot02 - dot01 * dot12) * inv_den
-            v = (dot00 * dot12 - dot01 * dot02) * inv_den
-            ok = (
-                live
-                & (denom <= -PARALLEL_EPS)
-                & (t >= 0.0)
-                & (u >= -EDGE_EPS)
-                & (v >= -EDGE_EPS)
-                & (u + v <= 1.0 + EDGE_EPS)
-                & (t < t_b)
-            )
-            return (
-                jnp.where(ok, t, t_b),
-                jnp.where(ok, k, tri_b),
-                jnp.where(ok, i, in_b),
-            )
+        # ``i`` is TRACED here (TLAS leaves pick the instance at
+        # runtime), so instance tracking is always on
+        test_tri = make_test_tri((oox, ooy, ooz), (odx, ody, odz), i)
 
         def popk(sp, t_b):
             nodes, acts = [], []

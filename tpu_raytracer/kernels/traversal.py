@@ -42,12 +42,11 @@ round-trip dominating):
     near-first DFS (the second pop can't see the first's leaf t
     updates), costing a few extra visits for half the stalls.
   * precomputed triangle records: each 16-lane record carries
-    A, n, e0 = C - A, e1 = B - A, dot00, dot01, dot11, inv_den —
-    exactly the intermediate values intersect.point_in_triangle_uv
-    computes — so the in-kernel test drops ~25 vector ops and one of
-    its two divides per triangle while staying BIT-IDENTICAL to the
-    brute-force oracle (same f32 ops in the same order, just hoisted
-    out of the kernel).
+    v0, n, and the affine barycentric rows rA/rB
+    (intersect.barycentric_rows) — so the in-kernel test is ~26 wide
+    VPU ops per (ray, triangle) (v17; see make_test_tri) while staying
+    BIT-IDENTICAL to the brute-force oracle (same f32 ops in the same
+    order, just hoisted out of the kernel).
 
 The whole SoA scene stays resident in VMEM across the ray-tile grid
 (bunny-class is a few MB of the ~16MB default budget; the pallas_call
@@ -73,6 +72,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core import transforms as T
+from ..render import intersect
 from ..render.intersect import EDGE_EPS, WATERTIGHT_NUDGE
 from ..scene.scene import SceneArrays
 
@@ -140,6 +140,88 @@ _SMEM_SLOTS = STACK_SIZE + 2 * POP_K
 LEAF_UNROLL = 8  # triangles tested per leaf-loop iteration (leaves avg ~12 at min_leaf 16)
 # leaf_loop's one-row-per-quad fetch requires group == row width
 assert LEAF_UNROLL == REC_PER_ROW
+
+
+def make_test_tri(oo, od, inst_val):
+    """Build the dense per-triangle test closure shared by ALL Pallas
+    kernels (binary, 4-wide, dual, TLAS, paged): one triangle record
+    against the whole ray tile (TrianglePrimitive.hpp:62-79, 151-169;
+    backface cull raycast.cu:107-109).
+
+    Record layout (see _scene_kernel_inputs): v0 (rows 0-2), normal
+    (3-5), affine barycentric rows rA (6-8) / rB (9-11) from
+    intersect.barycentric_rows — u = rA.(p - v0), v = rB.(p - v0),
+    evaluated as e2 = (o - v0) + t*d so the oracle's f32 rounding is
+    reproduced exactly (intersect.point_in_triangle_uv uses the same
+    fused form). v17 math-diet notes:
+      * no `safe` denominator select: accepted lanes need
+        denom <= -PARALLEL_EPS, and a 0-denominator lane's inf/NaN t
+        fails every subsequent comparison, so masked-lane garbage is
+        harmless and t on ACCEPTED lanes is bit-identical to the
+        oracle's num/safe_denom;
+      * e2 folds the hit-point construction: (o - v0) is a per-triangle
+        row constant (cheap [1,128] subs), so e2 costs 3 wide FMAs
+        instead of 3 FMAs (p) + 3 subs (p - v0);
+      * u/v are 3 wide FMAs each vs ~12 wide ops for the dot00/dot01
+        Cramer evaluation.
+    ~14 fewer wide VPU ops per (ray, triangle) than v16 — leaf math is
+    the flagship's wall-time floor (PERF_LOG r3 anatomy).
+
+    ``oo``/``od`` are (x, y, z) object-space origin/direction tiles
+    (origin components may be scalars on the uniform-origin path);
+    ``inst_val`` is the instance id to record on hits, or None to skip
+    instance tracking (single-instance kernels derive inst from tri_b
+    at output time: where(tri >= 0, 0, -1))."""
+    oox, ooy, ooz = oo
+    odx, ody, odz = od
+
+    def test_tri(rec, k, live, t_b, tri_b, in_b):
+        ax = rec[0:1, :]
+        ay = rec[1:2, :]
+        az = rec[2:3, :]
+        nx = rec[3:4, :]
+        ny = rec[4:5, :]
+        nz = rec[5:6, :]
+        rax = rec[6:7, :]
+        ray_ = rec[7:8, :]
+        raz = rec[8:9, :]
+        rbx = rec[9:10, :]
+        rby = rec[10:11, :]
+        rbz = rec[11:12, :]
+        denom = odx * nx + ody * ny + odz * nz
+        cx = ax - oox
+        cy = ay - ooy
+        cz = az - ooz
+        t = (cx * nx + cy * ny + cz * nz) / denom
+        # e2 = (o - v0) + t*d evaluated as t*d - (v0 - o): IEEE negation
+        # is exact and round-to-nearest is symmetric, so this is
+        # bit-identical to the oracle's form while REUSING the t
+        # numerator's differences (3 fewer wide ops when origins are
+        # per-ray)
+        e2x = t * odx - cx
+        e2y = t * ody - cy
+        e2z = t * odz - cz
+        u = rax * e2x + ray_ * e2y + raz * e2z
+        v = rbx * e2x + rby * e2y + rbz * e2z
+        # EDGE_EPS-inclusive bounds: keeps edge-tie decisions OFF the
+        # exact-zero point where Mosaic/XLA rounding diverges and
+        # closes shared-edge cracks (see intersect.EDGE_EPS)
+        ok = (
+            live
+            & (denom <= -PARALLEL_EPS)
+            & (t >= 0.0)
+            & (u >= -EDGE_EPS)
+            & (v >= -EDGE_EPS)
+            & (u + v <= 1.0 + EDGE_EPS)
+            & (t < t_b)
+        )
+        out_t = jnp.where(ok, t, t_b)
+        out_tri = jnp.where(ok, k, tri_b)
+        if inst_val is None:
+            return out_t, out_tri, in_b
+        return out_t, out_tri, jnp.where(ok, inst_val, in_b)
+
+    return test_tri
 
 
 def _quat_rot(qw, qx, qy, qz, vx, vy, vz):
@@ -445,58 +527,10 @@ def _traversal_kernel(
                 return jnp.min(cand, axis=0, keepdims=True)
             return jnp.min(cand)
 
-        def test_tri(rec, k, live, t_b, tri_b, in_b):
-            """Dense masked test of triangle k against the tile
-            (TrianglePrimitive.hpp:62-79, 151-169; cull
-            raycast.cu:107-109). Record fields are the precomputed
-            intermediates of intersect.point_in_triangle_uv, so t/u/v
-            here are bit-identical to the brute-force oracle. ``rec``
-            is the [16, 128] record value (leaf_loop extracts it from
-            the quad's shared row)."""
-            ax = rec[0:1, :]
-            ay = rec[1:2, :]
-            az = rec[2:3, :]
-            nx = rec[3:4, :]
-            ny = rec[4:5, :]
-            nz = rec[5:6, :]
-            e0x = rec[6:7, :]
-            e0y = rec[7:8, :]
-            e0z = rec[8:9, :]
-            e1x = rec[9:10, :]
-            e1y = rec[10:11, :]
-            e1z = rec[11:12, :]
-            dot00 = rec[12:13, :]
-            dot01 = rec[13:14, :]
-            dot11 = rec[14:15, :]
-            inv_den = rec[15:16, :]
-            denom = odx * nx + ody * ny + odz * nz
-            safe = jnp.where(jnp.abs(denom) < PARALLEL_EPS, 1.0, denom)
-            t = ((ax - oox) * nx + (ay - ooy) * ny + (az - ooz) * nz) / safe
-            pxl = oox + t * odx
-            pyl = ooy + t * ody
-            pzl = ooz + t * odz
-            e2x, e2y, e2z = pxl - ax, pyl - ay, pzl - az
-            dot02 = e0x * e2x + e0y * e2y + e0z * e2z
-            dot12 = e1x * e2x + e1y * e2y + e1z * e2z
-            u = (dot11 * dot02 - dot01 * dot12) * inv_den
-            v = (dot00 * dot12 - dot01 * dot02) * inv_den
-            # EDGE_EPS-inclusive bounds: keeps edge-tie decisions OFF
-            # the exact-zero point where Mosaic/XLA rounding diverges
-            # and closes shared-edge cracks (see intersect.EDGE_EPS)
-            ok = (
-                live
-                & (denom <= -PARALLEL_EPS)
-                & (t >= 0.0)
-                & (u >= -EDGE_EPS)
-                & (v >= -EDGE_EPS)
-                & (u + v <= 1.0 + EDGE_EPS)
-                & (t < t_b)
-            )
-            return (
-                jnp.where(ok, t, t_b),
-                jnp.where(ok, k, tri_b),
-                jnp.where(ok, i, in_b),
-            )
+        test_tri = make_test_tri(
+            (oox, ooy, ooz), (odx, ody, odz),
+            None if num_instances == 1 else i,
+        )
 
         def popk(sp, t_b):
             """Pop up to POP_K nodes in ONE vector/scalar round-trip.
@@ -669,6 +703,10 @@ def _traversal_kernel(
         _, best, n_pops, n_tests = carry
 
     t_b, tri_b, in_b = best
+    if num_instances == 1:
+        # test_tri skipped instance tracking (one select per triangle
+        # saved); any hit is instance 0
+        in_b = jnp.where(tri_b >= 0, 0, in_b)
     t_out_ref[0] = jnp.where(t_b >= BIG, _FLT_MAX, t_b)
     tri_out_ref[0] = tri_b
     inst_out_ref[0] = in_b
@@ -726,12 +764,11 @@ def _scene_kernel_inputs(scene: SceneArrays, bf16_box: bool = False,
     """Derive the kernel's packed arrays from SceneArrays (pure jnp,
     fused into the surrounding jit).
 
-    Triangle records carry the PRECOMPUTED intermediates of
-    intersect.point_in_triangle_uv — e0 = C - A, e1 = B - A, their dot
-    products and 1/(dot00*dot11 - dot01^2) — built with the exact same
-    f32 elementwise ops the oracle uses, so the kernel's u/v are
+    Triangle records carry v0, the face normal, and the PRECOMPUTED
+    affine barycentric rows rA/rB — built by the SAME jnp function the
+    oracle calls (intersect.barycentric_rows), so the kernels' u/v are
     bit-identical to the brute-force backend while the per-triangle
-    in-kernel cost drops by ~25 vector ops and one divide."""
+    in-kernel cost drops to ~26 wide ops (see make_test_tri)."""
     quat = T.euler2quat(scene.inst_pose[:, 3:6])
     pad = jnp.zeros((scene.num_instances, 2), jnp.float32)
     inst_tab = jnp.concatenate(
@@ -773,20 +810,20 @@ def _scene_kernel_inputs(scene: SceneArrays, bf16_box: bool = False,
     nodef = _pack_records(box_fields, scene.node_child_a.shape[0])
 
     comps = lambda m: (m[:, 0], m[:, 1], m[:, 2])
-    e0 = scene.tri_v2 - scene.tri_v0
-    e1 = scene.tri_v1 - scene.tri_v0
-    e0x, e0y, e0z = comps(e0)
-    e1x, e1y, e1z = comps(e1)
-    # Same op order as intersect.point_in_triangle_uv (jnp.sum over the
-    # 3-vector axis reduces left-to-right) — bit-exact parity.
-    dot00 = e0x * e0x + e0y * e0y + e0z * e0z
-    dot01 = e0x * e1x + e0y * e1y + e0z * e1z
-    dot11 = e1x * e1x + e1y * e1y + e1z * e1z
-    inv_den = 1.0 / (dot00 * dot11 - dot01 * dot01)
+    # Affine barycentric rows (intersect.barycentric_rows — the SAME
+    # jnp function the oracle calls, so u/v stay bit-identical): the
+    # in-kernel test needs just u = rA.(p - v0), v = rB.(p - v0),
+    # which cuts ~8 wide VPU ops per (ray, triangle) vs shipping
+    # e0/e1/dot products (r3: leaf math is the flagship's wall-time
+    # floor). Fields 12-15 are spare.
+    ra, rb = intersect.barycentric_rows(
+        scene.tri_v0, scene.tri_v1, scene.tri_v2
+    )
+    zero = jnp.zeros_like(ra[:, 0])
     tri_fields = (
         comps(scene.tri_v0) + comps(scene.tri_normal)
-        + (e0x, e0y, e0z, e1x, e1y, e1z)
-        + (dot00, dot01, dot11, inv_den)
+        + comps(ra) + comps(rb)
+        + (zero, zero, zero, zero)
     )
     trif = _pack_records(tri_fields, scene.num_triangles)
     return (inst_tab, inst_root), (code_arr, nodef), (trif,)

@@ -64,25 +64,45 @@ def ray_plane_hit(origin, direction, tv0, normal):
     return t, point, valid
 
 
-def point_in_triangle_uv(point, tv0, tv1, tv2, uv0, uv1, uv2):
+def barycentric_rows(tv0, tv1, tv2):
+    """Precompute the AFFINE barycentric row vectors rA, rB such that
+    u = rA . (p - v0) and v = rB . (p - v0) for any plane point p.
+
+    Folding the 2x2 Cramer inverse into per-triangle constants removes
+    ~8 wide VPU ops per (ray, triangle) from every backend's inner test
+    relative to the textbook dot00/dot01/... evaluation (r3 flagship
+    anatomy: leaf triangle math is the wall-time floor). Basis matches
+    the reference (e0 = C - A, e1 = B - A, TrianglePrimitive.hpp:151-
+    177); the row form is algebraically identical, rounded once per
+    triangle instead of per ray. All backends (brute oracle, XLA walk,
+    Pallas kernels via the packed records) use THESE rows, so they
+    agree bit-for-bit on u/v."""
+    e0 = tv2 - tv0
+    e1 = tv1 - tv0
+    dot00 = dot(e0, e0)
+    dot01 = dot(e0, e1)
+    dot11 = dot(e1, e1)
+    inv_denom = 1.0 / (dot00 * dot11 - dot01 * dot01)
+    ra = (dot11[..., None] * e0 - dot01[..., None] * e1) * inv_denom[..., None]
+    rb = (dot00[..., None] * e1 - dot01[..., None] * e0) * inv_denom[..., None]
+    return ra, rb
+
+
+def point_in_triangle_uv(origin, direction, t, tv0, tv1, tv2, uv0, uv1, uv2):
     """Barycentric inside test + UV interpolation
     (TrianglePrimitive.hpp:151-185).
 
-    Returns (uv [..., 2], inside [...]). Matches the reference's basis
-    (v0 = C - A, v1 = B - A) and its weight order w*uv0 + v*uv1 + u*uv2
-    (TrianglePrimitive.hpp:179).
+    Takes the RAY (origin, direction, plane parameter t) rather than the
+    hit point: the local offset is evaluated as (origin - v0) + t*d so
+    the f32 rounding matches the Pallas kernels' fused form exactly
+    (computing p = o + t*d first then p - v0 rounds differently).
+    Returns (uv [..., 2], inside [...]). Weight order w*uv0 + v*uv1 +
+    u*uv2 matches the reference (TrianglePrimitive.hpp:179).
     """
-    e0 = tv2 - tv0
-    e1 = tv1 - tv0
-    e2 = point - tv0
-    dot00 = dot(e0, e0)
-    dot01 = dot(e0, e1)
-    dot02 = dot(e0, e2)
-    dot11 = dot(e1, e1)
-    dot12 = dot(e1, e2)
-    inv_denom = 1.0 / (dot00 * dot11 - dot01 * dot01)
-    u = (dot11 * dot02 - dot01 * dot12) * inv_denom
-    v = (dot00 * dot12 - dot01 * dot02) * inv_denom
+    ra, rb = barycentric_rows(tv0, tv1, tv2)
+    e2 = (origin - tv0) + t[..., None] * direction
+    u = dot(ra, e2)
+    v = dot(rb, e2)
     inside = (u >= -EDGE_EPS) & (v >= -EDGE_EPS) & (u + v <= 1.0 + EDGE_EPS)
     w = 1.0 - u - v
     uv = (

@@ -84,9 +84,9 @@ def cast_rays_brute(scene: SceneArrays, origin, directions) -> Hit:
         obj_org, obj_dir = _instance_object_ray(scene, i, origin, directions)
         o = obj_org[..., None, :]
         d = obj_dir[..., None, :]
-        t, point, valid = ray_plane_hit(o, d, scene.tri_v0, scene.tri_normal)
+        t, _, valid = ray_plane_hit(o, d, scene.tri_v0, scene.tri_normal)
         _, inside = point_in_triangle_uv(
-            point, scene.tri_v0, scene.tri_v1, scene.tri_v2,
+            o, d, t, scene.tri_v0, scene.tri_v1, scene.tri_v2,
             scene.tri_uv0, scene.tri_uv1, scene.tri_uv2,
         )
         backface = dot(d, scene.tri_normal) < 0.0
@@ -125,11 +125,11 @@ def _cast_one_bvh(scene: SceneArrays, origin, direction) -> Hit:
 
             def tri_body(k, c):
                 t_b, tr_b = c
-                t, point, valid = ray_plane_hit(
+                t, _, valid = ray_plane_hit(
                     obj_org, obj_dir, scene.tri_v0[k], scene.tri_normal[k]
                 )
                 _, inside = point_in_triangle_uv(
-                    point,
+                    obj_org, obj_dir, t,
                     scene.tri_v0[k], scene.tri_v1[k], scene.tri_v2[k],
                     scene.tri_uv0[k], scene.tri_uv1[k], scene.tri_uv2[k],
                 )
@@ -249,9 +249,9 @@ def hit_attributes(
     rec = packed[tri]
     tv0 = rec[..., 0:3]
     tnormal = rec[..., 9:12]
-    _, point, _ = ray_plane_hit(obj_org, obj_dir, tv0, tnormal)
+    tp, point, _ = ray_plane_hit(obj_org, obj_dir, tv0, tnormal)
     uv, _ = point_in_triangle_uv(
-        point, tv0, rec[..., 3:6], rec[..., 6:9],
+        obj_org, obj_dir, tp, tv0, rec[..., 3:6], rec[..., 6:9],
         rec[..., 12:14], rec[..., 14:16], rec[..., 16:18],
     )
     location = T.apply_lre(inst_inv_pose, point * scale)

@@ -24,7 +24,9 @@ def save_png(img, fp: str) -> None:
 
 def overlay_fps(img, fps: float):
     """Burn an FPS label into the frame (kernel.cu:40-41)."""
-    img = np.ascontiguousarray(np.asarray(img, np.uint8))
+    # np.array (not ascontiguousarray): device arrays view as READ-ONLY
+    # numpy buffers and cv2.putText writes in place
+    img = np.array(img, np.uint8)
     try:
         import cv2
 
