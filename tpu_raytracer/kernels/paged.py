@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -826,11 +827,21 @@ _PAGED_STATS: dict = {}
 def cast_rays_paged(scene: SceneArrays, tables: PagedTables, origin,
                     directions, interpret=None):
     """Nearest-hit query with the HBM-paged packet kernel. Same Hit
-    record and ray-layout handling as cast_rays_pallas. Routes to the
-    paged-WIDE kernel when the tables carry the per-page 4-wide
-    collapse (default; TRT_PAGED_WIDE=0 forces the binary in-page
-    loop)."""
+    record and ray-layout handling as cast_rays_pallas. Routing:
+    PAGE-MAJOR kernel (kernels/paged_major.py — each page DMA'd once
+    per frame) for single-instance scenes when TRT_PAGED_MAJOR=1;
+    else the tile-major paged-WIDE kernel when the tables carry the
+    per-page 4-wide collapse (default; TRT_PAGED_WIDE=0 forces the
+    binary in-page loop)."""
     from ..render.renderer import Hit  # local: avoids cycle
+
+    if (tables.has_wide and scene.num_instances == 1
+            and os.environ.get("TRT_PAGED_MAJOR", "0") == "1"):
+        from .paged_major import cast_rays_paged_major
+
+        return cast_rays_paged_major(
+            scene, tables, origin, directions, interpret=interpret
+        )
 
     if tables.has_wide and _paged_wide_default():
         from .paged_wide import cast_rays_paged_wide
