@@ -15,14 +15,40 @@ Behavioral parity with the reference parser:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from .mesh import MeshPrimitive
+
+# Texts above this size route to the native C++ parser when available
+# (bit-identical results, measured 6.5x faster at 82k tris; the reference's
+# loader is C++, OBJLoader.hpp). TRT_NATIVE_OBJ=0 forces Python,
+# =1 forces native at any size.
+_NATIVE_OBJ_THRESHOLD = 256 * 1024
 
 
 def parse_obj(text: str):
     """Parse OBJ source text into raw triangle arrays
     (v0, v1, v2, uv0, uv1, uv2, has_uv)."""
+    env = os.environ.get("TRT_NATIVE_OBJ")
+    use_native = (
+        env == "1"
+        or (env != "0" and len(text) > _NATIVE_OBJ_THRESHOLD)
+    )
+    if use_native:
+        from . import native_obj
+
+        if native_obj.native_available():
+            return native_obj.parse_obj_native(text)
+        if env == "1":
+            raise RuntimeError("native OBJ parser unavailable")
+    return _parse_obj_py(text)
+
+
+def _parse_obj_py(text: str):
+    """Pure-Python reference parser (used for small files and as the
+    bit-exactness oracle for the native parser)."""
     vertices: list[list[float]] = []
     tex_coords: list[list[float]] = []
 
