@@ -93,12 +93,26 @@ from .paged import TRI_ROWS, PagedTables, _PAGED_STATS
 from .paged_wide import LEAF_UP, POP_KW, _NODES_PER_CROW
 from .wide4 import REC32, REC32_PER_ROW, STACK_W
 
-# VMEM budget gate: resident ray state is (3 outs + 3 dirs [+ 3 origins])
-# row-blocks of TILE_S x 128 f32 per tile (16 KB each). 256 tiles =
-# 1024^2 rays keeps the worst case (9 arrays) at 36 MB + page buffers.
-# Larger frames chunk into multiple pallas_calls (pages re-stream per
-# chunk — still O(pages * chunks), far below O(page visits)).
-MAX_MAJOR_TILES = int(os.environ.get("TRT_PAGED_MAJOR_TILES", "256"))
+# VMEM budget for the resident ray state: (3 outs + 3 dirs [+3 origins]
+# [+1 stats]) row-blocks of TILE_S x 128 f32 per tile (16 KB each) must
+# fit beside the double-buffered page windows. Frames beyond the cap
+# chunk into multiple pallas_calls (pages re-stream per chunk — still
+# O(pages * chunks), far below O(page visits)). A 1080p uniform-origin
+# frame (507 tiles x 96 KB = 49 MB) fits one sweep.
+# TRT_PAGED_MAJOR_TILES overrides the computed cap.
+_STATE_BUDGET = 80 * 1024 * 1024
+MAX_MAJOR_TILES = int(os.environ.get("TRT_PAGED_MAJOR_TILES", "0"))
+
+
+def _tile_cap(tables: PagedTables, uniform_o: bool, with_stats: bool) -> int:
+    if MAX_MAJOR_TILES > 0:
+        return MAX_MAJOR_TILES
+    per_tile = (6 if uniform_o else 9) + (1 if with_stats else 0)
+    per_tile *= TILE_S * TILE_L * 4
+    buffers = 4 * 2 * (
+        tables.wcode_rows + tables.wnode_rows + TRI_ROWS
+    ) * TILE_L
+    return max(8, (_STATE_BUDGET - buffers) // per_tile)
 
 # SMEM scratch: page-local wide stack | per-pop child codes | sync words
 _S_WCODE = STACK_W
@@ -677,15 +691,16 @@ def cast_rays_paged_major(scene: SceneArrays, tables: PagedTables,
 
 
 def _run_chunked(scene, tables, tiled, interpret, worigin):
-    """Split frames larger than MAX_MAJOR_TILES tiles into chunks, each
+    """Split frames larger than the VMEM tile cap into chunks, each
     its own page sweep (VMEM holds all chunk ray state + 2 page
     buffers)."""
     n_tiles = tiled[0].shape[0]
-    if n_tiles <= MAX_MAJOR_TILES:
+    cap = _tile_cap(tables, worigin is not None, _stats_enabled())
+    if n_tiles <= cap:
         return _run_paged_major(scene, tables, tiled, interpret, worigin)
     outs = []
-    for c0 in range(0, n_tiles, MAX_MAJOR_TILES):
-        chunk = tuple(a[c0:c0 + MAX_MAJOR_TILES] for a in tiled)
+    for c0 in range(0, n_tiles, cap):
+        chunk = tuple(a[c0:c0 + cap] for a in tiled)
         outs.append(
             _run_paged_major(scene, tables, chunk, interpret, worigin)
         )
