@@ -10,7 +10,12 @@
 //   * vertex/texcoord indices are 1-based; negative indices wrap
 //     (Python numpy negative indexing);
 //   * floats parsed with strtod then cast to float, matching Python's
-//     float() -> np.float32 double-rounding exactly.
+//     float() -> np.float32 double-rounding exactly; hex floats and
+//     empty index tokens are rejected like Python. KNOWN divergences
+//     (both reject-vs-accept, never silent wrong geometry): PEP 515
+//     underscored literals ("1_0") parse in Python only; exotic
+//     unicode line terminators (\v, \f, U+2028...) split in Python's
+//     splitlines only (\n, \r\n, \r are handled).
 //
 // Plain C ABI via an opaque handle (pybind11 is not in the image):
 //   trt_obj_parse(text, len) -> handle (NULL on malformed input)
@@ -58,9 +63,12 @@ const char* next_token(const char** p, const char* end, size_t* n) {
 
 bool parse_float(const char* s, size_t n, float* out) {
   char buf[64];
-  if (n >= sizeof(buf)) return false;
+  if (n == 0 || n >= sizeof(buf)) return false;
   memcpy(buf, s, n);
   buf[n] = 0;
+  // reject C hex floats ("0x1p3") — Python float() errors on them
+  const char* b = buf + (buf[0] == '+' || buf[0] == '-' ? 1 : 0);
+  if (b[0] == '0' && (b[1] == 'x' || b[1] == 'X')) return false;
   char* endp = nullptr;
   double d = strtod(buf, &endp);  // double first: match Python float()
   if (endp != buf + n) return false;
@@ -70,7 +78,7 @@ bool parse_float(const char* s, size_t n, float* out) {
 
 bool parse_int(const char* s, size_t n, long* out) {
   char buf[64];
-  if (n >= sizeof(buf)) return false;
+  if (n == 0 || n >= sizeof(buf)) return false;  // int("") raises in Python
   memcpy(buf, s, n);
   buf[n] = 0;
   char* endp = nullptr;
@@ -91,8 +99,10 @@ void* trt_obj_parse(const char* text, int64_t len) {
   std::vector<long> v_idx, t_idx;
 
   while (p < end) {
-    const char* line_end = (const char*)memchr(p, '\n', size_t(end - p));
-    if (!line_end) line_end = end;
+    // line terminators: \n, \r\n, or bare \r (str.splitlines parity)
+    const char* line_end = p;
+    while (line_end < end && *line_end != '\n' && *line_end != '\r')
+      ++line_end;
     const char* q = p;
     size_t n;
     const char* tag = next_token(&q, line_end, &n);
@@ -152,7 +162,9 @@ void* trt_obj_parse(const char* text, int64_t len) {
         }
       }
     }
-    p = line_end + 1;
+    p = line_end;
+    if (p < end && *p == '\r') ++p;
+    if (p < end && *p == '\n') ++p;
   }
   return d;
 }

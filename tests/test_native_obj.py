@@ -47,6 +47,9 @@ CASES = {
         "v 1e-3 -2.5E2 +0.125\nv .5 -0.0 3\nv 1 2 3\n"
         "f 1 2 3\n"
     ),
+    "cr_and_crlf_lines": lambda: (
+        "v 0 0 0\rv 1 0 0\r\nv 0 1 0\rf 1 2 3\r"
+    ),
 }
 
 
@@ -63,6 +66,19 @@ def test_native_obj_matches_python(name):
 def test_native_obj_rejects_malformed():
     with pytest.raises(ValueError):
         parse_obj_native("v 1 2 x\nf 1 2 3\n")
+
+
+@pytest.mark.parametrize("text", [
+    "v 0 0 0\nv 1 0 0\nv 0 1 0\nf /1 2 3\n",  # empty vertex index
+    "v 0x1 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n",  # C hex float
+])
+def test_native_obj_rejects_where_python_raises(text):
+    """Inputs the Python parser raises on must not silently parse
+    natively (review finding: strtol/strtod accept '' and hex)."""
+    with pytest.raises(ValueError):
+        objloader._parse_obj_py(text)
+    with pytest.raises(ValueError):
+        parse_obj_native(text)
 
 
 def test_parse_obj_env_routing(monkeypatch):

@@ -107,7 +107,7 @@ MAX_MAJOR_TILES = int(os.environ.get("TRT_PAGED_MAJOR_TILES", "0"))
 def _tile_cap(tables: PagedTables, uniform_o: bool, with_stats: bool) -> int:
     if MAX_MAJOR_TILES > 0:
         return MAX_MAJOR_TILES
-    per_tile = (6 if uniform_o else 9) + (1 if with_stats else 0)
+    per_tile = (5 if uniform_o else 8) + (1 if with_stats else 0)
     per_tile *= TILE_S * TILE_L * 4
     buffers = 4 * 2 * (
         tables.wcode_rows + tables.wnode_rows + TRI_ROWS
@@ -146,11 +146,14 @@ def _page_major_kernel(n_tiles, n_pages, with_stats, uniform_o,
         gtrif_ref,  # ANY [*, 128] f32 global triangle records (HBM)
     ) = refs[:3]
     rest = refs[3:]
+    # NOTE: no inst output — single-instance scenes derive
+    # inst = where(tri >= 0, 0, -1) in the wrapper, saving a third
+    # resident i32 state block per tile (review finding r3)
     if with_stats:
-        (t_out_ref, tri_out_ref, inst_out_ref, stat_ref,
+        (t_out_ref, tri_out_ref, stat_ref,
          smem_ref, wcbuf_ref, wnbuf_ref, tribuf_ref, sem_ref) = rest
     else:
-        (t_out_ref, tri_out_ref, inst_out_ref,
+        (t_out_ref, tri_out_ref,
          smem_ref, wcbuf_ref, wnbuf_ref, tribuf_ref, sem_ref) = rest
 
     k = pl.program_id(0)
@@ -191,7 +194,6 @@ def _page_major_kernel(n_tiles, n_pages, with_stats, uniform_o,
     def _():
         t_out_ref[:] = jnp.full(t_out_ref.shape, BIG, jnp.float32)
         tri_out_ref[:] = jnp.full(tri_out_ref.shape, -1, jnp.int32)
-        inst_out_ref[:] = jnp.full(inst_out_ref.shape, -1, jnp.int32)
         if with_stats:
             stat_ref[:] = jnp.zeros(stat_ref.shape, jnp.int32)
 
@@ -239,7 +241,7 @@ def _page_major_kernel(n_tiles, n_pages, with_stats, uniform_o,
         for cp in _page_copies(pid, slot):
             cp.wait()
 
-        def tile_body(tau, nvis):
+        def tile_body(tau, carry0):
             word = wanted_ref[k, tau // _W32]
             bit = jax.lax.shift_right_logical(
                 word, jax.lax.rem(tau, _W32)
@@ -414,21 +416,20 @@ def _page_major_kernel(n_tiles, n_pages, with_stats, uniform_o,
                 best = (
                     t_out_ref[pl.ds(r0, TILE_S), :],
                     tri_out_ref[pl.ds(r0, TILE_S), :],
-                    inst_out_ref[pl.ds(r0, TILE_S), :],
+                    jnp.int32(0),  # inst not tracked (scalar placeholder)
                 )
                 smem_ref[0] = 0  # page-local wide root
                 c = (jnp.int32(1), best)
                 c = jax.lax.while_loop(lambda c: c[0] > 0, page_body, c)
-                t_b, tri_b, in_b = c[1]
+                t_b, tri_b, _ = c[1]
                 t_out_ref[pl.ds(r0, TILE_S), :] = t_b
                 tri_out_ref[pl.ds(r0, TILE_S), :] = tri_b
-                inst_out_ref[pl.ds(r0, TILE_S), :] = in_b
                 if with_stats:
                     stat_ref[pl.ds(r0, TILE_S), :] = (
                         stat_ref[pl.ds(r0, TILE_S), :] + 1
                     )
 
-            return nvis
+            return carry0  # no carried state; everything flows via refs
 
         jax.lax.fori_loop(0, n_tiles, tile_body, jnp.int32(0))
 
@@ -588,7 +589,7 @@ def _run_paged_major(scene: SceneArrays, tables: PagedTables, tiled,
     state_shape = (n_tiles * TILE_S, TILE_L)
     f32s = jax.ShapeDtypeStruct(state_shape, jnp.float32)
     i32s = jax.ShapeDtypeStruct(state_shape, jnp.int32)
-    out_shape = (f32s, i32s, i32s) + ((i32s,) if with_stats else ())
+    out_shape = (f32s, i32s) + ((i32s,) if with_stats else ())
     state_spec = pl.BlockSpec(
         state_shape, lambda i: (0, 0), memory_space=pltpu.VMEM
     )
@@ -615,11 +616,11 @@ def _run_paged_major(scene: SceneArrays, tables: PagedTables, tiled,
         interpret=interpret,
     )(*inputs)
     if with_stats:
-        t, tri, inst, vis = outs
+        t, tri, vis = outs
         _PAGED_STATS["pages"] = vis[::TILE_S, 0]
         _PAGED_STATS["pages_streamed"] = jnp.sum(any_t)
     else:
-        t, tri, inst = outs
+        t, tri = outs
     unflat = lambda a: a.reshape(n_tiles, TILE_S, TILE_L)
     t = jnp.where(t >= BIG, _FLT_MAX, t)
     inst = jnp.where(tri >= 0, 0, -1)
@@ -699,11 +700,21 @@ def _run_chunked(scene, tables, tiled, interpret, worigin):
     if n_tiles <= cap:
         return _run_paged_major(scene, tables, tiled, interpret, worigin)
     outs = []
+    stats_pages, stats_streamed = [], []
     for c0 in range(0, n_tiles, cap):
         chunk = tuple(a[c0:c0 + cap] for a in tiled)
         outs.append(
             _run_paged_major(scene, tables, chunk, interpret, worigin)
         )
+        if _stats_enabled():
+            # accumulate per-chunk counters (each call overwrites the
+            # module dict; merged below so a chunked frame reports the
+            # WHOLE frame's visits/DMA traffic)
+            stats_pages.append(_PAGED_STATS["pages"])
+            stats_streamed.append(_PAGED_STATS["pages_streamed"])
+    if _stats_enabled():
+        _PAGED_STATS["pages"] = jnp.concatenate(stats_pages)
+        _PAGED_STATS["pages_streamed"] = sum(stats_streamed)
     return tuple(
         jnp.concatenate([o[j] for o in outs], axis=0) for j in range(3)
     )
