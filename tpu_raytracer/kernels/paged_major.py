@@ -70,9 +70,6 @@ from ..core import transforms as T
 from ..scene.scene import SceneArrays
 from .traversal import (
     BIG,
-    LEAF_BITS,
-    LEAF_UNROLL,
-    MAX_LEAF_TRIS,
     PIX_H,
     PIX_W,
     REC_LANES,
@@ -90,8 +87,8 @@ from .traversal import (
     make_test_tri,
 )
 from .paged import TRI_ROWS, PagedTables, _PAGED_STATS
-from .paged_wide import LEAF_UP, POP_KW, _NODES_PER_CROW
-from .wide4 import REC32, REC32_PER_ROW, STACK_W
+from .paged_wide import POP_KW, make_inpage_traverser
+from .wide4 import REC32, STACK_W
 
 # VMEM budget for the resident ray state: (3 outs + 3 dirs [+3 origins]
 # [+1 stats]) row-blocks of TILE_S x 128 f32 per tile (16 KB each) must
@@ -229,13 +226,6 @@ def _page_major_kernel(n_tiles, n_pages, with_stats, uniform_o,
     sy = inst_tab_ref[0, 8]
     sz = inst_tab_ref[0, 9]
 
-    def fetch32(k_):
-        row = wnbuf_ref[pl.ds(k_ // REC32_PER_ROW + nrow0, 1), :]
-        rep = jnp.broadcast_to(row, (REC32, TILE_L))
-        mask = lane32 == (k_ % REC32_PER_ROW) * REC32 + sub32
-        vals = jnp.sum(jnp.where(mask, rep, 0.0), axis=1, keepdims=True)
-        return vals + jnp.zeros((REC32, TILE_L), jnp.float32)
-
     @pl.when(any_ref[k] == 1)
     def _():
         for cp in _page_copies(pid, slot):
@@ -305,123 +295,21 @@ def _page_major_kernel(n_tiles, n_pages, with_stats, uniform_o,
                 test_tri = make_test_tri(
                     (oox, ooy, ooz), (odx, ody, odz), None
                 )
-
-                def leaf_loop(start, count, st):
-                    def row_tests(kr, count_end, acc):
-                        t_b, tri_b, in_b = acc
-                        row_i = jnp.minimum(
-                            kr // REC_PER_ROW - trow_page, TRI_ROWS - 1
-                        ) + srow
-                        row = tribuf_ref[pl.ds(row_i, 1), :]
-                        rep = jnp.broadcast_to(row, (REC_LANES, TILE_L))
-                        for u_ in range(LEAF_UNROLL):
-                            kk = kr + u_
-                            mask = lane16 == u_ * REC_LANES + sub16
-                            vals = jnp.sum(
-                                jnp.where(mask, rep, 0.0),
-                                axis=1, keepdims=True,
-                            )
-                            rec = vals + jnp.zeros(
-                                (REC_LANES, TILE_L), jnp.float32
-                            )
-                            t_b, tri_b, in_b = test_tri(
-                                rec, kk, kk < count_end, t_b, tri_b, in_b
-                            )
-                        return t_b, tri_b, in_b
-
-                    n_rows = LEAF_UP // LEAF_UNROLL
-
-                    def quad_body(q, acc):
-                        k0 = start + q * LEAF_UP
-                        for r_ in range(n_rows):
-                            acc = row_tests(
-                                k0 + r_ * REC_PER_ROW, start + count, acc
-                            )
-                        return acc
-
-                    n_quads = (count + LEAF_UP - 1) // LEAF_UP
-                    return jax.lax.fori_loop(0, n_quads, quad_body, st)
-
-                def page_body(c):
-                    """POP_KW wide pops per scalar sync (paged_wide)."""
-                    spp, state = c
-                    t_b = state[0]
-                    nodes, acts = [], []
-                    spm = spp
-                    for j in range(POP_KW):
-                        acts.append((spp > j).astype(jnp.int32))
-                        nodes.append(
-                            smem_ref[jnp.maximum(spp - 1 - j, 0)]
-                        )
-                        spm = spm - acts[j]
-
-                    for j in range(POP_KW):
-                        node = nodes[j]
-                        crow = wcbuf_ref[
-                            pl.ds(node // _NODES_PER_CROW + crow0, 1), :
-                        ]
-                        lbase = (node % _NODES_PER_CROW) * 4
-                        for c_ in range(4):
-                            smem_ref[_S_WCODE + 4 * j + c_] = jnp.sum(
-                                jnp.where(lane1 == lbase + c_, crow, 0)
-                            )
-                        rec = fetch32(node)
-                        ds = [slab(rec, 6 * c_, t_b) for c_ in range(4)]
-                        hs = [(d < BIG).astype(jnp.int32) for d in ds]
-                        count = hs[0] + hs[1] + hs[2] + hs[3]
-                        word = count
-                        for c_ in range(4):
-                            r = jnp.int32(0)
-                            for kq in range(4):
-                                if kq == c_:
-                                    continue
-                                r = r + (
-                                    (ds[kq] < ds[c_])
-                                    | ((ds[kq] == ds[c_]) & (kq < c_))
-                                ).astype(jnp.int32)
-                            word = word + jnp.left_shift(
-                                jnp.int32(c_), 3 + 2 * r
-                            )
-                        smem_ref[_S_WPUSH + j] = word
-
-                    sp_out = spm
-                    leaf = []
-                    for j in reversed(range(POP_KW)):
-                        act = acts[j]
-                        w_ = smem_ref[_S_WPUSH + j]
-                        count = (w_ & 7) * act
-                        pop_leaves = []
-                        for p in reversed(range(4)):
-                            csel = (w_ >> (3 + 2 * p)) & 3
-                            active = (count > p).astype(jnp.int32)
-                            code = smem_ref[_S_WCODE + 4 * j + csel]
-                            is_int = (
-                                (code >= 0).astype(jnp.int32)
-                            ) * active
-                            smem_ref[sp_out] = jnp.maximum(code, 0)
-                            sp_out = sp_out + is_int
-                            packed = -code - 1
-                            lcount = (packed & MAX_LEAF_TRIS) * (
-                                active - is_int
-                            )
-                            pop_leaves.append(
-                                ((packed >> LEAF_BITS) + tri0, lcount)
-                            )
-                        leaf.extend(pop_leaves[::-1])
-
-                    for s_, c_ in leaf:
-                        state = leaf_loop(s_, c_, state)
-                    return sp_out, state
+                traverse_inpage = make_inpage_traverser(
+                    smem_ref, wcbuf_ref, wnbuf_ref, tribuf_ref,
+                    lane1, lane16, sub16, lane32, sub32,
+                    slab, test_tri, 0, _S_WCODE, _S_WPUSH,
+                )
 
                 best = (
                     t_out_ref[pl.ds(r0, TILE_S), :],
                     tri_out_ref[pl.ds(r0, TILE_S), :],
                     jnp.int32(0),  # inst not tracked (scalar placeholder)
                 )
-                smem_ref[0] = 0  # page-local wide root
-                c = (jnp.int32(1), best)
-                c = jax.lax.while_loop(lambda c: c[0] > 0, page_body, c)
-                t_b, tri_b, _ = c[1]
+                best, _, _ = traverse_inpage(
+                    tri0, crow0, nrow0, trow_page, srow, best
+                )
+                t_b, tri_b, _ = best
                 t_out_ref[pl.ds(r0, TILE_S), :] = t_b
                 tri_out_ref[pl.ds(r0, TILE_S), :] = tri_b
                 if with_stats:

@@ -84,6 +84,151 @@ assert LEAF_UP % LEAF_UNROLL == 0
 # nodes per 128-lane code row (4 child words per wide node)
 _NODES_PER_CROW = TILE_L // 4
 
+
+def make_inpage_traverser(smem_ref, wcbuf_ref, wnbuf_ref, tribuf_ref,
+                          lane1, lane16, sub16, lane32, sub32,
+                          slab, test_tri,
+                          stack_base, wcode_slot, wpush_slot):
+    """Build the 4-WIDE in-page traversal closure shared by the paged
+    kernels (tile-major paged_wide and page-major paged_major).
+
+    Returns ``traverse(tri0, crow0, nrow0, trow_page, srow, state) ->
+    (state', pops, tests)`` where ``state`` is the (t, tri, inst)
+    best-hit triple, ``tri0``/``trow_page`` rebase page-local leaf
+    starts to global ids, and ``crow0``/``nrow0``/``srow`` are the
+    buffer half's base rows. SMEM layout is parameterized:
+    ``stack_base`` (STACK_W slots), ``wcode_slot`` (4*POP_KW child
+    codes), ``wpush_slot`` (POP_KW sync words).
+
+    Per sync the vector phase computes each pop's 4 child entries,
+    packs the sync word (hit count + near-first permutation,
+    kernels/wide4.py) AND parks the 4 child codes in SMEM via
+    lane-masked reduces of the node's single code row (per-page codes
+    are DMA'd, so the scalar core cannot read them directly); the
+    scalar phase then runs entirely SMEM-direct. Leaf loops issue
+    LEAF_UP/8 independent row loads per fori step (overshoot rows
+    clamped in the page window, tests masked by count)."""
+
+    def fetch32(k_, nrow0):
+        row = wnbuf_ref[pl.ds(k_ // REC32_PER_ROW + nrow0, 1), :]
+        rep = jnp.broadcast_to(row, (REC32, TILE_L))
+        mask = lane32 == (k_ % REC32_PER_ROW) * REC32 + sub32
+        vals = jnp.sum(jnp.where(mask, rep, 0.0), axis=1, keepdims=True)
+        return vals + jnp.zeros((REC32, TILE_L), jnp.float32)
+
+    def leaf_loop(start, count, st, trow_page, srow):
+        def row_tests(kr, count_end, acc):
+            t_b, tri_b, in_b = acc
+            row_i = jnp.minimum(
+                kr // REC_PER_ROW - trow_page, TRI_ROWS - 1
+            ) + srow
+            row = tribuf_ref[pl.ds(row_i, 1), :]
+            rep = jnp.broadcast_to(row, (REC_LANES, TILE_L))
+            for u_ in range(LEAF_UNROLL):
+                k = kr + u_
+                mask = lane16 == u_ * REC_LANES + sub16  # static
+                vals = jnp.sum(
+                    jnp.where(mask, rep, 0.0), axis=1, keepdims=True
+                )
+                rec = vals + jnp.zeros((REC_LANES, TILE_L), jnp.float32)
+                t_b, tri_b, in_b = test_tri(
+                    rec, k, k < count_end, t_b, tri_b, in_b
+                )
+            return t_b, tri_b, in_b
+
+        n_rows = LEAF_UP // LEAF_UNROLL
+
+        def quad_body(q, acc):
+            k0 = start + q * LEAF_UP
+            for r_ in range(n_rows):
+                acc = row_tests(k0 + r_ * REC_PER_ROW, start + count, acc)
+            return acc
+
+        n_quads = (count + LEAF_UP - 1) // LEAF_UP
+        return jax.lax.fori_loop(0, n_quads, quad_body, st)
+
+    def traverse(tri0, crow0, nrow0, trow_page, srow, state0):
+        smem_ref[stack_base] = 0  # page-local wide root
+
+        def page_body(c):
+            spp, state, np_, nt_ = c
+            t_b = state[0]
+            nodes, acts = [], []
+            spm = spp
+            for j in range(POP_KW):
+                acts.append((spp > j).astype(jnp.int32))
+                nodes.append(
+                    smem_ref[stack_base + jnp.maximum(spp - 1 - j, 0)]
+                )
+                spm = spm - acts[j]
+
+            # --- vector phase: issue everything, read nothing ---
+            for j in range(POP_KW):
+                node = nodes[j]
+                crow = wcbuf_ref[
+                    pl.ds(node // _NODES_PER_CROW + crow0, 1), :
+                ]
+                lbase = (node % _NODES_PER_CROW) * 4
+                for c_ in range(4):
+                    smem_ref[wcode_slot + 4 * j + c_] = jnp.sum(
+                        jnp.where(lane1 == lbase + c_, crow, 0)
+                    )
+                rec = fetch32(node, nrow0)
+                ds = [slab(rec, 6 * c_, t_b) for c_ in range(4)]
+                hs = [(d < BIG).astype(jnp.int32) for d in ds]
+                count = hs[0] + hs[1] + hs[2] + hs[3]
+                word = count
+                for c_ in range(4):
+                    r = jnp.int32(0)
+                    for k in range(4):
+                        if k == c_:
+                            continue
+                        r = r + (
+                            (ds[k] < ds[c_])
+                            | ((ds[k] == ds[c_]) & (k < c_))
+                        ).astype(jnp.int32)
+                    word = word + jnp.left_shift(jnp.int32(c_), 3 + 2 * r)
+                smem_ref[wpush_slot + j] = word
+
+            # --- scalar phase (one combined stall) ---
+            sp_out = spm
+            leaf = []
+            for j in reversed(range(POP_KW)):
+                act = acts[j]
+                w_ = smem_ref[wpush_slot + j]
+                count = (w_ & 7) * act
+                pop_leaves = []
+                for p in reversed(range(4)):  # farthest -> nearest
+                    csel = (w_ >> (3 + 2 * p)) & 3
+                    active = (count > p).astype(jnp.int32)
+                    code = smem_ref[wcode_slot + 4 * j + csel]
+                    is_int = ((code >= 0).astype(jnp.int32)) * active
+                    # scratch writes above the stack top must stay
+                    # valid node ids (clamp; see CLAUDE.md r3 note)
+                    smem_ref[stack_base + sp_out] = jnp.maximum(code, 0)
+                    sp_out = sp_out + is_int
+                    packed = -code - 1
+                    lcount = (packed & MAX_LEAF_TRIS) * (active - is_int)
+                    pop_leaves.append(
+                        ((packed >> LEAF_BITS) + tri0, lcount)
+                    )
+                leaf.extend(pop_leaves[::-1])  # nearest-first
+            pops = acts[0]
+            for a in acts[1:]:
+                pops = pops + a
+
+            nt = nt_
+            for s_, c_ in leaf:
+                state = leaf_loop(s_, c_, state, trow_page, srow)
+                nt = nt + c_
+            return sp_out, state, np_ + pops, nt
+
+        c = (jnp.int32(1), state0, jnp.int32(0), jnp.int32(0))
+        c = jax.lax.while_loop(lambda c: c[0] > 0, page_body, c)
+        return c[1], c[2], c[3]
+
+    return traverse
+
 # SMEM layout: top stack | page wide stack | top code+push | per-pop
 # child codes (4 each) | per-pop sync words
 _PSTACK = STACK_SIZE
@@ -146,15 +291,6 @@ def _paged_wide_kernel(num_instances, with_stats, uniform_o, wcode_rows,
         mask = lane16 == (k % REC_PER_ROW) * REC_LANES + sub16
         vals = jnp.sum(jnp.where(mask, rep, 0.0), axis=1, keepdims=True)
         return vals + jnp.zeros((REC_LANES, TILE_L), jnp.float32)
-
-    def fetch32(k, row0):
-        """One 32-field wide record from the page buffer; ``k`` is the
-        PAGE-LOCAL wide id, ``row0`` the buffer half's base row."""
-        row = wnbuf_ref[pl.ds(k // REC32_PER_ROW + row0, 1), :]
-        rep = jnp.broadcast_to(row, (REC32, TILE_L))
-        mask = lane32 == (k % REC32_PER_ROW) * REC32 + sub32
-        vals = jnp.sum(jnp.where(mask, rep, 0.0), axis=1, keepdims=True)
-        return vals + jnp.zeros((REC32, TILE_L), jnp.float32)
 
     dirs = tuple(r[0] for r in (dx_ref, dy_ref, dz_ref))
     if not uniform_o:
@@ -232,47 +368,11 @@ def _paged_wide_kernel(num_instances, with_stats, uniform_o, wcode_rows,
             None if num_instances == 1 else i,
         )
 
-        def leaf_loop(start, count, st, trow_page, srow):
-            """Dense triangle tests from the page buffer; ``start`` is
-            GLOBAL (already rebased +tri0) so hit tri ids are global.
-            ``trow_page`` is the page's base triangle row, ``srow`` the
-            buffer half's base row. LEAF_UP > 8 issues multiple
-            INDEPENDENT row loads per fori iteration (overshoot rows
-            clamped inside the page window, tests masked by count) —
-            leaf-row iterations are the paged kernel's dominant serial
-            step (r3 stats: 92 of ~175 per tile)."""
-
-            def row_tests(kr, count_end, acc):
-                t_b, tri_b, in_b = acc
-                row_i = jnp.minimum(
-                    kr // REC_PER_ROW - trow_page, TRI_ROWS - 1
-                ) + srow
-                row = tribuf_ref[pl.ds(row_i, 1), :]
-                rep = jnp.broadcast_to(row, (REC_LANES, TILE_L))
-                for u_ in range(LEAF_UNROLL):
-                    k = kr + u_
-                    mask = lane16 == u_ * REC_LANES + sub16  # static
-                    vals = jnp.sum(
-                        jnp.where(mask, rep, 0.0), axis=1, keepdims=True
-                    )
-                    rec = vals + jnp.zeros((REC_LANES, TILE_L), jnp.float32)
-                    t_b, tri_b, in_b = test_tri(
-                        rec, k, k < count_end, t_b, tri_b, in_b
-                    )
-                return t_b, tri_b, in_b
-
-            n_rows = LEAF_UP // LEAF_UNROLL
-
-            def quad_body(q, acc):
-                k0 = start + q * LEAF_UP
-                for r_ in range(n_rows):
-                    acc = row_tests(
-                        k0 + r_ * REC_PER_ROW, start + count, acc
-                    )
-                return acc
-
-            n_quads = (count + LEAF_UP - 1) // LEAF_UP
-            return jax.lax.fori_loop(0, n_quads, quad_body, st)
+        traverse_inpage = make_inpage_traverser(
+            smem_ref, wcbuf_ref, wnbuf_ref, tribuf_ref,
+            lane1, lane16, sub16, lane32, sub32,
+            slab, test_tri, _PSTACK, _S_WCODE, _S_WPUSH,
+        )
 
         def pop1_top(sp, t_b):
             """Single-pop top-tree step (tiny tree; kernels/paged.py)."""
@@ -351,99 +451,19 @@ def _paged_wide_kernel(num_instances, with_stats, uniform_o, wcode_rows,
 
         def traverse_page(pid, slot, carry):
             """Traverse page ``pid``'s 4-wide subtree from buffer half
-            ``slot`` (DMAs already waited). Wide ids are page-local
-            (root 0); leaf starts rebased +tri0 at decode."""
+            ``slot`` (DMAs already waited; make_inpage_traverser).
+            Wide ids are page-local (root 0); leaf starts rebased
+            +tri0 at decode."""
             tri0 = page_tab_ref[pid, 1]
             crow0 = slot * wcode_rows  # buffer base rows (ADD: local ids)
             nrow0 = slot * wnode_rows
             trow_page = tri0 // REC_PER_ROW
             srow = slot * TRI_ROWS
-
-            smem_ref[_PSTACK] = 0  # page-local wide root
-
-            def page_body(c):
-                """POP_KW wide pops per scalar sync: the vector phase
-                computes each pop's 4 child entries, packs the sync word
-                (hit count + near-first permutation, kernels/wide4.py)
-                AND parks the 4 child codes in SMEM via lane-masked
-                reduces of the node's single code row; the scalar phase
-                then runs entirely SMEM-direct."""
-                spp, state, np_, nt_ = c
-                t_b = state[0]
-                nodes, acts = [], []
-                spm = spp
-                for j in range(POP_KW):
-                    acts.append((spp > j).astype(jnp.int32))
-                    nodes.append(
-                        smem_ref[_PSTACK + jnp.maximum(spp - 1 - j, 0)]
-                    )
-                    spm = spm - acts[j]
-
-                # --- vector phase: issue everything, read nothing ---
-                for j in range(POP_KW):
-                    node = nodes[j]
-                    crow = wcbuf_ref[
-                        pl.ds(node // _NODES_PER_CROW + crow0, 1), :
-                    ]
-                    lbase = (node % _NODES_PER_CROW) * 4
-                    for c_ in range(4):
-                        smem_ref[_S_WCODE + 4 * j + c_] = jnp.sum(
-                            jnp.where(lane1 == lbase + c_, crow, 0)
-                        )
-                    rec = fetch32(node, nrow0)
-                    ds = [slab(rec, 6 * c_, t_b) for c_ in range(4)]
-                    hs = [(d < BIG).astype(jnp.int32) for d in ds]
-                    count = hs[0] + hs[1] + hs[2] + hs[3]
-                    word = count
-                    for c_ in range(4):
-                        r = jnp.int32(0)
-                        for k in range(4):
-                            if k == c_:
-                                continue
-                            r = r + (
-                                (ds[k] < ds[c_])
-                                | ((ds[k] == ds[c_]) & (k < c_))
-                            ).astype(jnp.int32)
-                        word = word + jnp.left_shift(jnp.int32(c_), 3 + 2 * r)
-                    smem_ref[_S_WPUSH + j] = word
-
-                # --- scalar phase (one combined stall) ---
-                sp_out = spm
-                leaf = []
-                for j in reversed(range(POP_KW)):
-                    act = acts[j]
-                    w_ = smem_ref[_S_WPUSH + j]
-                    count = (w_ & 7) * act
-                    pop_leaves = []
-                    for p in reversed(range(4)):  # farthest -> nearest
-                        csel = (w_ >> (3 + 2 * p)) & 3
-                        active = (count > p).astype(jnp.int32)
-                        code = smem_ref[_S_WCODE + 4 * j + csel]
-                        is_int = ((code >= 0).astype(jnp.int32)) * active
-                        # scratch writes above the stack top must stay
-                        # valid node ids (clamp; see CLAUDE.md r3 note)
-                        smem_ref[_PSTACK + sp_out] = jnp.maximum(code, 0)
-                        sp_out = sp_out + is_int
-                        packed = -code - 1
-                        lcount = (packed & MAX_LEAF_TRIS) * (active - is_int)
-                        pop_leaves.append(
-                            ((packed >> LEAF_BITS) + tri0, lcount)
-                        )
-                    leaf.extend(pop_leaves[::-1])  # nearest-first
-                pops = acts[0]
-                for a in acts[1:]:
-                    pops = pops + a
-
-                nt = nt_
-                for s_, c_ in leaf:
-                    state = leaf_loop(s_, c_, state, trow_page, srow)
-                    nt = nt + c_
-                return sp_out, state, np_ + pops, nt
-
             state, np_, nt_ = carry
-            c = (jnp.int32(1), state, np_, nt_)
-            c = jax.lax.while_loop(lambda c: c[0] > 0, page_body, c)
-            return c[1], c[2], c[3]
+            state, pops, tests = traverse_inpage(
+                tri0, crow0, nrow0, trow_page, srow, state
+            )
+            return state, np_ + pops, nt_ + tests
 
         # --- double-buffered page pipeline (kernels/paged.py) ----------
         root = inst_root_ref[i]
