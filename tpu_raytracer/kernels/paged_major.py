@@ -34,11 +34,10 @@ Scope: single-instance scenes (beyond-VMEM scenes are flattened
 single-instance in practice; multi-instance big scenes route to the
 tile-major kernels). Hit results still match the brute-force oracle
 exactly: the bitmask is a conservative superset of the pages any
-per-ray walk would enter, in-page math is make_test_tri, and the
-nearest-hit select is the same (t, order) rule — page order only
-affects VISIT counts, not results, because leaf acceptance is strict
-t < t_best with the global-order tri id as tiebreak... see
-_page_order note below for why results are still exact.
+per-ray walk would enter, the in-page math is make_test_tri, and leaf
+acceptance is strict t < t_best — so visiting pages in a different
+order changes visit counts, never results (see the exactness NOTE
+below for the one cross-page exact-t-tie caveat).
 
 Reference capability: everything-resident traversal at any scene size
 (Scene.cpp:41-64) — here the scene is HBM-resident and VMEM sees each
