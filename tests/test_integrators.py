@@ -106,3 +106,17 @@ def test_path_tracer_runs_and_converges_sanely():
     left = img[:, :5].mean(axis=(0, 1))
     right = img[:, -5:].mean(axis=(0, 1))
     assert left[2] / (left[1] + 1e-6) > right[2] / (right[1] + 1e-6)
+
+
+def test_whitted_retile_is_pure_permutation():
+    """retile_secondary sorts the wavefront once after the primary
+    cast and unscatters radiance at the end — per-ray results must be
+    bit-identical to the unsorted path (packet composition changes
+    visit counts, never hits)."""
+    arrays, cam = cornell_scene(mirror=True)
+    o, d = _rays(cam)
+    base = np.asarray(render_whitted(arrays, o, d, max_bounces=2))
+    tiled = np.asarray(
+        render_whitted(arrays, o, d, max_bounces=2, retile_secondary=True)
+    )
+    np.testing.assert_array_equal(tiled, base)

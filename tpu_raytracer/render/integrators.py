@@ -18,6 +18,7 @@ the reference's truncating cast (raycast.cu:292-294).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import NamedTuple
 
 import jax
@@ -91,6 +92,7 @@ def render_whitted(
     shadows: bool = True,
     exact: bool = True,
     sort_secondary: bool = False,
+    retile_secondary: bool = False,
 ) -> jax.Array:
     """Whitted-style recursive reflections, iteratively unrolled.
 
@@ -99,7 +101,20 @@ def render_whitted(
     roughness/metallic fields the reference stores but never reads,
     Material.hpp:8-10, realized as an explicit knob). Returns float
     [..., 3] radiance in [0, 1].
-    """
+
+    ``retile_secondary`` (env TRT_WHITTED_RETILE=1/0 overrides):
+    after the primary cast, compute ONE permutation that buckets rays
+    by (hit instance, hit-point morton) and run every remaining
+    shadow/bounce cast in that order, unscattering radiance once at
+    the end. Unlike the r2 per-cast coherence sort (which HALVED fps:
+    argsort+gather+scatter per cast), the machinery here is one
+    argsort + one wavefront gather + one final scatter per FRAME,
+    amortized over 2*max_bounces casts. A pure permutation — per-ray
+    results are bit-identical (packet composition changes visit
+    counts, never hits)."""
+    env = os.environ.get("TRT_WHITTED_RETILE")
+    if env is not None:
+        retile_secondary = env != "0"
     cast = get_cast_fn(backend)
     cast2 = _secondary_cast_fn(cast, backend, sort_secondary)
     directions = jnp.asarray(directions, jnp.float32)
@@ -111,10 +126,44 @@ def render_whitted(
     active = jnp.ones(shape, bool)
     sky = jnp.asarray(SKY_F32, jnp.float32)
 
+    unscatter = None  # set when retiling kicks in after bounce 0
     o, d = origin, directions
     for bounce in range(max_bounces + 1):
         hit = (cast if bounce == 0 else cast2)(scene, o, d)
         attrs = hit_attributes(scene, o, d, hit, exact=exact)
+
+        if bounce == 0 and retile_secondary and max_bounces > 0:
+            # bucket by hit instance (major) then hit-point morton:
+            # rays that hit the same object cluster into the same
+            # packets for every subsequent cast
+            from .sorted_cast import morton30
+
+            flat = lambda a: a.reshape((-1,) + a.shape[len(shape):])
+            loc = flat(attrs.location)
+            lo = jnp.min(loc, axis=0)
+            hi = jnp.max(loc, axis=0)
+            q = jnp.clip(
+                (loc - lo) * (1023.0 / jnp.maximum(hi - lo, 1e-12)),
+                0.0, 1023.0,
+            ).astype(jnp.int32)
+            # 9-bit instance major + 22-bit morton minor (fits i32 for
+            # up to 511 instances; beyond that the morton bits shrink)
+            key = (flat(attrs.inst) + 1) * (1 << 22) + (
+                morton30(q) >> 8
+            )
+            order = jnp.argsort(jnp.where(flat(attrs.hit), key, -1))
+            inv = jnp.zeros_like(order).at[order].set(
+                jnp.arange(order.shape[0], dtype=order.dtype)
+            )
+            perm = lambda a: flat(a)[order]
+            unscatter = lambda a: a[inv].reshape(shape + a.shape[1:])
+            o, d = perm(o), perm(d)
+            radiance = perm(radiance)
+            throughput = perm(throughput)
+            active = perm(active)
+            hit = type(hit)(*(perm(x) for x in hit))
+            attrs = type(attrs)(*(perm(x) for x in attrs))
+
         miss = active & ~attrs.hit
         radiance = radiance + jnp.where(miss[..., None], throughput * sky, 0.0)
 
@@ -141,6 +190,8 @@ def render_whitted(
         d = normalize(_reflect(d, attrs.normal), exact=exact)
         o = attrs.location + d * SHADOW_EPS
         o, d = _park(o, d, active)
+    if unscatter is not None:
+        radiance = unscatter(radiance)
     return radiance
 
 
