@@ -118,13 +118,15 @@ _SMEM_SLOTS = _S_WPUSH + POP_KW
 _W32 = 32  # tiles per bitmask word
 
 
-def _page_major_kernel(n_tiles, n_pages, with_stats, uniform_o,
+def _page_major_kernel(n_tiles, n_pages, n_words, with_stats, uniform_o,
                        wcode_rows, wnode_rows, *refs):
     (
         inst_tab_ref,  # SMEM [I, 12] f32 quat/pos/inv_scale (instance 0)
         order_ref,  # SMEM [P] i32: grid step -> page id (front-to-back)
         page_tab_ref,  # SMEM [P, 2] i32 (node0, tri0) per PAGE ID
-        wanted_ref,  # SMEM [P, W] i32 bitmask: step-order x tile
+        wanted_ref,  # SMEM [P*W] i32 bitmask, flattened: page-order
+        # row k starts at k*W (1-D — Mosaic dynamic SMEM indexing is
+        # only exercised on one axis anywhere in this codebase)
         any_ref,  # SMEM [P] i32: any tile wants step k's page
     ) = refs[:5]
     refs = refs[5:]
@@ -231,7 +233,7 @@ def _page_major_kernel(n_tiles, n_pages, with_stats, uniform_o,
             cp.wait()
 
         def tile_body(tau, carry0):
-            word = wanted_ref[k, tau // _W32]
+            word = wanted_ref[k * n_words + tau // _W32]
             bit = jax.lax.shift_right_logical(
                 word, jax.lax.rem(tau, _W32)
             ) & 1
@@ -451,7 +453,8 @@ def _run_paged_major(scene: SceneArrays, tables: PagedTables, tiled,
     )
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
 
-    head = (inst_tab, order, tables.page_tab, wanted, any_t)
+    n_words = wanted.shape[1]
+    head = (inst_tab, order, tables.page_tab, wanted.reshape(-1), any_t)
     head_specs = [smem_whole(a) for a in head]
     rays = tuple(flat(a) for a in dcomps)
     if uniform_o:
@@ -481,7 +484,7 @@ def _run_paged_major(scene: SceneArrays, tables: PagedTables, tiled,
         state_shape, lambda i: (0, 0), memory_space=pltpu.VMEM
     )
     kernel = functools.partial(
-        _page_major_kernel, n_tiles, n_pages, with_stats, uniform_o,
+        _page_major_kernel, n_tiles, n_pages, n_words, with_stats, uniform_o,
         tables.wcode_rows, tables.wnode_rows,
     )
     outs = pl.pallas_call(
