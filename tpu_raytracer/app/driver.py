@@ -103,7 +103,7 @@ def run(
             if scene_name != "cube" and scene_name != "cornell" \
             else SCENES[scene_name](min(width, height))
         width, height = camera.width, camera.height
-    if backend == "paged":
+    if backend in ("paged", "paged_major"):
         # force-page small scenes too; big scenes already carry tables
         # (Scene.compile auto-attaches beyond the VMEM budget)
         arrays = arrays.with_paging()
@@ -164,7 +164,7 @@ def main():
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1088)
     ap.add_argument("--frames", type=int, default=10)
-    ap.add_argument("--backend", default=None, choices=["brute", "bvh", "pallas", "paged"])
+    ap.add_argument("--backend", default=None, choices=["brute", "bvh", "pallas", "paged", "paged_major"])
     ap.add_argument("--lighting", default="flat",
                     choices=["flat", "lambert", "lambert_shadow", "blinn_phong"])
     ap.add_argument("--scene", default="demo",

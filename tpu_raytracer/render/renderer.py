@@ -298,6 +298,23 @@ def _cast_rays_paged_auto(scene: SceneArrays, origin, directions) -> Hit:
     return cast_rays_paged(scene, tables, origin, directions)
 
 
+def _cast_rays_paged_major(scene: SceneArrays, origin, directions) -> Hit:
+    """Force the PAGE-major paged kernel (kernels/paged_major.py);
+    single-instance scenes only. The `paged` backend also routes here
+    when TRT_PAGED_MAJOR=1."""
+    from ..kernels.paged import prepare_paged
+    from ..kernels.paged_major import cast_rays_paged_major
+
+    tables = scene.paged
+    if tables is None or not tables.has_wide:
+        if isinstance(scene.node_child_a, jax.core.Tracer):
+            raise ValueError(
+                "paged_major backend inside jit needs scene.with_paging()"
+            )
+        tables = prepare_paged(scene, wide=True)
+    return cast_rays_paged_major(scene, tables, origin, directions)
+
+
 def get_cast_fn(backend: str):
     if backend == "pallas":
         from ..kernels.traversal import cast_rays_pallas
@@ -305,4 +322,6 @@ def get_cast_fn(backend: str):
         return cast_rays_pallas
     if backend == "paged":
         return _cast_rays_paged_auto
+    if backend == "paged_major":
+        return _cast_rays_paged_major
     return CAST_FNS[backend]
