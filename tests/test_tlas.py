@@ -112,3 +112,21 @@ def test_tlas_rendered_image_matches_brute():
     a = np.asarray(render(cam, arrays, backend="pallas"))
     b = np.asarray(render(cam, arrays, backend="brute"))
     assert (a == b).all(), f"{(a != b).any(-1).sum()} pixels differ"
+
+
+def test_tlas_wide_matches_binary_blas(monkeypatch):
+    """The 4-wide BLAS path (default when scene.wide4 is attached) and
+    the binary BLAS path (TRT_TLAS_WIDE=0) agree bit-for-bit."""
+    from tpu_raytracer.render.camera import generate_rays
+
+    arrays, cam = _two_instance_scene()
+    assert arrays.wide4 is not None  # compile attached the wide tables
+    p = cam.ray_params()
+    o, d = generate_rays(cam.width, cam.height, p["K_inv"], p["D"],
+                         p["pose"], p["inv_pose"])
+    got = cast_rays_tlas(arrays, o, d, interpret=True)
+    monkeypatch.setenv("TRT_TLAS_WIDE", "0")
+    ref = cast_rays_tlas(arrays, o, d, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got.tri), np.asarray(ref.tri))
+    np.testing.assert_array_equal(np.asarray(got.inst), np.asarray(ref.inst))
+    np.testing.assert_array_equal(np.asarray(got.t), np.asarray(ref.t))

@@ -77,12 +77,27 @@ from .traversal import (
 TLAS_STACK = 48  # instance trees are shallow (depth ~ log2(I) + slack)
 
 # SMEM scratch: TLAS stack | BLAS stack | TLAS push slot | POP_K code +
-# POP_K push slots for the BLAS loop
+# POP_K push slots for the BLAS loop. The BLAS stack region is sized
+# for the WIDE path (4-wide fronts are ~3x the binary front,
+# kernels/wide4.py); the binary path uses a prefix.
+from .wide4 import POP_KW, REC32, REC32_PER_ROW, STACK_W  # noqa: E402
+
 _BSTACK = TLAS_STACK
-_S_TPUSH = TLAS_STACK + STACK_SIZE
+_S_TPUSH = TLAS_STACK + STACK_W
 _S_CODE = _S_TPUSH + 1
-_S_PUSH = _S_CODE + POP_K
-_SMEM_SLOTS = _S_PUSH + POP_K
+_S_PUSH = _S_CODE + max(POP_K, 4 * POP_KW)
+_SMEM_SLOTS = _S_PUSH + max(POP_K, POP_KW)
+
+# Triangles per wide-path leaf iteration (the dual kernel's LEAF_U=16
+# default, +6% there: one 2-row iteration covers a min_leaf=16 leaf)
+import os as _os  # noqa: E402
+
+LEAF_UW = int(_os.environ.get("TRT_TLAS_LEAF_U", "16"))
+assert LEAF_UW % LEAF_UNROLL == 0
+
+
+def _tlas_wide_default() -> bool:
+    return _os.environ.get("TRT_TLAS_WIDE", "1") != "0"
 
 
 @jax.tree_util.register_dataclass
@@ -151,7 +166,7 @@ def build_tlas(scene: SceneArrays) -> TlasTables:
     )
 
 
-def _tlas_kernel(with_stats, uniform_o, smem_codes, *refs):
+def _tlas_kernel(with_stats, uniform_o, smem_codes, wide, tri_rows, *refs):
     (
         inst_tab_ref,  # SMEM [I, 12] f32 quat/pos/inv_scale
         inst_root_ref,  # SMEM [I] i32 BLAS root node per instance
@@ -177,6 +192,8 @@ def _tlas_kernel(with_stats, uniform_o, smem_codes, *refs):
     lane16 = jax.lax.broadcasted_iota(jnp.int32, (REC_LANES, TILE_L), 1)
     sub16 = jax.lax.broadcasted_iota(jnp.int32, (REC_LANES, TILE_L), 0)
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_L), 1)
+    lane32 = jax.lax.broadcasted_iota(jnp.int32, (REC32, TILE_L), 1)
+    sub32 = jax.lax.broadcasted_iota(jnp.int32, (REC32, TILE_L), 0)
 
     def fetch_record(ref, k):
         row = ref[pl.ds(k // REC_PER_ROW, 1), :]
@@ -184,6 +201,15 @@ def _tlas_kernel(with_stats, uniform_o, smem_codes, *refs):
         mask = lane16 == (k % REC_PER_ROW) * REC_LANES + sub16
         vals = jnp.sum(jnp.where(mask, rep, 0.0), axis=1, keepdims=True)
         return vals + jnp.zeros((REC_LANES, TILE_L), jnp.float32)
+
+    def fetch_record32(ref, k):
+        """One 32-field wide-node record as [32, 128] broadcast rows
+        (kernels/wide4.py fetch32)."""
+        row = ref[pl.ds(k // REC32_PER_ROW, 1), :]
+        rep = jnp.broadcast_to(row, (REC32, TILE_L))
+        mask = lane32 == (k % REC32_PER_ROW) * REC32 + sub32
+        vals = jnp.sum(jnp.where(mask, rep, 0.0), axis=1, keepdims=True)
+        return vals + jnp.zeros((REC32, TILE_L), jnp.float32)
 
     def _inv(v):
         tiny = 1e-30
@@ -251,6 +277,98 @@ def _tlas_kernel(with_stats, uniform_o, smem_codes, *refs):
         # ``i`` is TRACED here (TLAS leaves pick the instance at
         # runtime), so instance tracking is always on
         test_tri = make_test_tri((oox, ooy, ooz), (odx, ody, odz), i)
+
+        def popk_wide(sp, t_b):
+            """4-WIDE BLAS pops (kernels/wide4.py popk with the BLAS
+            stack region): POP_KW wide pops per combined scalar stall,
+            child codes read SMEM-direct from the wide control table,
+            rank-ordered near-first sibling pushes."""
+            nodes, acts = [], []
+            spm = sp
+            for j in range(POP_KW):
+                acts.append((sp > j).astype(jnp.int32))
+                nodes.append(smem_ref[_BSTACK + jnp.maximum(sp - 1 - j, 0)])
+                spm = spm - acts[j]
+
+            # --- vector phase ---
+            for j in range(POP_KW):
+                rec = fetch_record32(nodef_ref, nodes[j])
+                ds = [
+                    slab_entry(rec, 6 * c, t_b, oox, ooy, ooz,
+                               idx_, idy_, idz_)
+                    for c in range(4)
+                ]
+                hs = [(d < BIG).astype(jnp.int32) for d in ds]
+                count = hs[0] + hs[1] + hs[2] + hs[3]
+                word = count
+                for c in range(4):
+                    r = jnp.int32(0)
+                    for k in range(4):
+                        if k == c:
+                            continue
+                        r = r + (
+                            (ds[k] < ds[c])
+                            | ((ds[k] == ds[c]) & (k < c))
+                        ).astype(jnp.int32)
+                    word = word + jnp.left_shift(jnp.int32(c), 3 + 2 * r)
+                smem_ref[_S_PUSH + j] = word
+
+            # --- scalar phase (one combined stall) ---
+            sp_out = spm
+            leaf = []
+            for j in reversed(range(POP_KW)):
+                node, act = nodes[j], acts[j]
+                w_ = smem_ref[_S_PUSH + j]
+                count = (w_ & 7) * act
+                pop_leaves = []
+                for p in reversed(range(4)):  # farthest -> nearest
+                    csel = (w_ >> (3 + 2 * p)) & 3
+                    active = (count > p).astype(jnp.int32)
+                    code = code_ref[4 * node + csel]
+                    is_int = ((code >= 0).astype(jnp.int32)) * active
+                    # scratch writes above the stack top stay valid ids
+                    smem_ref[_BSTACK + sp_out] = jnp.maximum(code, 0)
+                    sp_out = sp_out + is_int
+                    packed = -code - 1
+                    lcount = (packed & MAX_LEAF_TRIS) * (active - is_int)
+                    pop_leaves.append((packed >> LEAF_BITS, lcount))
+                leaf.extend(pop_leaves[::-1])  # nearest-first
+            pops = acts[0]
+            for a in acts[1:]:
+                pops = pops + a
+            return sp_out, leaf, pops
+
+        def leaf_loop_wide(start, count, acc):
+            """LEAF_UW-triangle iterations: LEAF_UW/8 independent row
+            loads per fori step (kernels/dual.py LEAF_U pattern;
+            overshoot rows clamped, tests masked by count)."""
+            def row_tests(kr, count_end, acc):
+                t_b, tri_b, in_b = acc
+                row_i = jnp.minimum(kr // REC_PER_ROW, tri_rows - 1)
+                row = trif_ref[pl.ds(row_i, 1), :]
+                rep = jnp.broadcast_to(row, (REC_LANES, TILE_L))
+                for u_ in range(LEAF_UNROLL):
+                    k = kr + u_
+                    mask = lane16 == u_ * REC_LANES + sub16  # static
+                    vals = jnp.sum(
+                        jnp.where(mask, rep, 0.0), axis=1, keepdims=True
+                    )
+                    rec = vals + jnp.zeros((REC_LANES, TILE_L), jnp.float32)
+                    t_b, tri_b, in_b = test_tri(
+                        rec, k, k < count_end, t_b, tri_b, in_b
+                    )
+                return t_b, tri_b, in_b
+
+            n_rows = LEAF_UW // LEAF_UNROLL
+
+            def quad_body(q, acc):
+                k0 = start + q * LEAF_UW
+                for r_ in range(n_rows):
+                    acc = row_tests(k0 + r_ * REC_PER_ROW, start + count, acc)
+                return acc
+
+            n_quads = (count + LEAF_UW - 1) // LEAF_UW
+            return jax.lax.fori_loop(0, n_quads, quad_body, acc)
 
         def popk(sp, t_b):
             nodes, acts = [], []
@@ -330,12 +448,15 @@ def _tlas_kernel(with_stats, uniform_o, smem_codes, *refs):
             n_quads = (count + LEAF_UNROLL - 1) // LEAF_UNROLL
             return jax.lax.fori_loop(0, n_quads, quad_body, acc)
 
+        pop_fn = popk_wide if wide else popk
+        leaf_fn = leaf_loop_wide if wide else leaf_loop
+
         def body(carry):
             sp, state, np_, nt_ = carry
-            sp, leaves, pops = popk(sp, state[0])
+            sp, leaves, pops = pop_fn(sp, state[0])
             nt = nt_
             for s_, c_ in leaves:
-                state = leaf_loop(s_, c_, state)
+                state = leaf_fn(s_, c_, state)
                 nt = nt + c_
             return sp, state, np_ + pops, nt
 
@@ -432,6 +553,18 @@ def _run_tlas(scene: SceneArrays, tables: TlasTables, tiled, interpret,
     (inst_tab, inst_root), (code_arr, nodef), (trif,) = _scene_kernel_inputs(
         scene, bf16_box=False, smem_codes=smem_codes
     )
+    # 4-WIDE BLAS (kernels/wide4.py tables) when available and the wide
+    # control words fit SMEM; TRT_TLAS_WIDE=0 forces the binary loop
+    wide = (
+        scene.wide4 is not None
+        and _tlas_wide_default()
+        and scene.wide4.wcode.shape[0] * 4 <= SMEM_CODE_BUDGET
+    )
+    if wide:
+        code_arr = scene.wide4.wcode
+        nodef = scene.wide4.wnodef
+        inst_root = scene.wide4.wroot[scene.inst_mesh]
+        smem_codes = True  # wide codes are always SMEM-resident
     with_stats = _stats_enabled()
 
     ray_spec = pl.BlockSpec(
@@ -466,7 +599,8 @@ def _run_tlas(scene: SceneArrays, tables: TlasTables, tiled, interpret,
     i32s = jax.ShapeDtypeStruct((n_tiles, TILE_S, TILE_L), jnp.int32)
     out_shape = (f32s, i32s, i32s) + ((i32s, i32s) if with_stats else ())
     kernel = functools.partial(
-        _tlas_kernel, with_stats, uniform_o, smem_codes
+        _tlas_kernel, with_stats, uniform_o, smem_codes, wide,
+        trif.shape[0],
     )
     outs = pl.pallas_call(
         kernel,
