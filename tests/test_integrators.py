@@ -120,3 +120,17 @@ def test_whitted_retile_is_pure_permutation():
         render_whitted(arrays, o, d, max_bounces=2, retile_secondary=True)
     )
     np.testing.assert_array_equal(tiled, base)
+
+
+def test_occlusion_shadow_cast_matches_nearest(monkeypatch):
+    """ANY-HIT shadow casts (occlusion mode, default on the pallas
+    backend) produce the exact same shadow booleans — whitted images
+    bit-match nearest-hit shadow casts through the packet kernels."""
+    arrays, cam = cornell_scene(mirror=True)
+    o, d = _rays(cam)
+    on = np.asarray(render_whitted(arrays, o, d, max_bounces=1,
+                                   backend="pallas"))
+    monkeypatch.setenv("TRT_OCC_SHADOW", "0")
+    off = np.asarray(render_whitted(arrays, o, d, max_bounces=1,
+                                    backend="pallas"))
+    np.testing.assert_array_equal(on, off)

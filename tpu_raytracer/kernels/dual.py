@@ -118,7 +118,7 @@ def _smem_layout(wide: bool):
 
 
 def _dual_kernel(num_instances, with_stats, uniform_o, smem_codes,
-                 tri_rows, wide, flat_leaf, *refs):
+                 tri_rows, wide, flat_leaf, occlusion, *refs):
     """``wide=True`` pops 4-wide collapsed nodes (accel/wide.py
     encoding: explicit child codes in SMEM, 32-lane box records) —
     combining the dual-tile sync sharing with the wide tree's ~3x
@@ -275,7 +275,8 @@ def _dual_kernel(num_instances, with_stats, uniform_o, smem_codes,
         # kernel's test; traversal.make_test_tri has the v17 math notes)
         _tt = [
             make_test_tri(
-                oo[w_], od[w_], None if num_instances == 1 else i
+                oo[w_], od[w_], None if num_instances == 1 else i,
+                occlusion,
             )
             for w_ in range(2)
         ]
@@ -691,7 +692,7 @@ def _dual_kernel(num_instances, with_stats, uniform_o, smem_codes,
 
 
 def _run_dual(scene: SceneArrays, tiled, interpret: bool, worigin=None,
-              wide: bool = False):
+              wide: bool = False, occlusion: bool = False):
     """Invoke the dual kernel over [n_tiles, TILE_S, 128] ray tiles,
     two tiles per grid step (n_tiles padded to even). ``wide`` swaps
     the binary node tables for the 4-wide collapse (scene.wide4)."""
@@ -759,7 +760,7 @@ def _run_dual(scene: SceneArrays, tiled, interpret: bool, worigin=None,
     out_shape = (f32s, i32s, i32s) + ((i32s, i32s) if with_stats else ())
     kernel = functools.partial(
         _dual_kernel, scene.num_instances, with_stats, uniform_o,
-        smem_codes, trif.shape[0], wide, flat_leaf,
+        smem_codes, trif.shape[0], wide, flat_leaf, occlusion,
     )
     outs = pl.pallas_call(
         kernel,
@@ -786,7 +787,7 @@ def _run_dual(scene: SceneArrays, tiled, interpret: bool, worigin=None,
 
 
 def cast_rays_dual(scene: SceneArrays, origin, directions, interpret=None,
-                   wide: bool | None = None):
+                   wide: bool | None = None, occlusion: bool = False):
     """Nearest-hit query with the dual-tile interleaved kernel. Same
     Hit record and ray-layout handling as cast_rays_pallas. ``wide``
     pops 4-wide collapsed nodes (needs scene.wide4); defaults to wide
@@ -819,7 +820,8 @@ def cast_rays_dual(scene: SceneArrays, origin, directions, interpret=None,
         if not uniform_o:
             srcs = [(origin, 0), (origin, 1), (origin, 2)] + srcs
         tiled = tuple(_image_to_tiles(a[..., c]) for a, c in srcs)
-        t, tri, inst = _run_dual(scene, tiled, interpret, worigin, wide)
+        t, tri, inst = _run_dual(scene, tiled, interpret, worigin, wide,
+                                 occlusion)
         return Hit(
             t=_tiles_to_image(t, h, w),
             tri=_tiles_to_image(tri, h, w),
@@ -842,6 +844,7 @@ def cast_rays_dual(scene: SceneArrays, origin, directions, interpret=None,
             )
         srcs = [(flat_o, 0), (flat_o, 1), (flat_o, 2)] + srcs
     tiled = tuple(a[:, c].reshape(-1, TILE_S, TILE_L) for a, c in srcs)
-    t, tri, inst = _run_dual(scene, tiled, interpret, worigin, wide)
+    t, tri, inst = _run_dual(scene, tiled, interpret, worigin, wide,
+                                 occlusion)
     unpack = lambda a: a.reshape(-1)[:r].reshape(shape)
     return Hit(t=unpack(t), tri=unpack(tri), inst=unpack(inst))

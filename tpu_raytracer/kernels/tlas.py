@@ -166,7 +166,8 @@ def build_tlas(scene: SceneArrays) -> TlasTables:
     )
 
 
-def _tlas_kernel(with_stats, uniform_o, smem_codes, wide, tri_rows, *refs):
+def _tlas_kernel(with_stats, uniform_o, smem_codes, wide, tri_rows,
+                 occlusion, *refs):
     (
         inst_tab_ref,  # SMEM [I, 12] f32 quat/pos/inv_scale
         inst_root_ref,  # SMEM [I] i32 BLAS root node per instance
@@ -276,7 +277,8 @@ def _tlas_kernel(with_stats, uniform_o, smem_codes, wide, tri_rows, *refs):
 
         # ``i`` is TRACED here (TLAS leaves pick the instance at
         # runtime), so instance tracking is always on
-        test_tri = make_test_tri((oox, ooy, ooz), (odx, ody, odz), i)
+        test_tri = make_test_tri((oox, ooy, ooz), (odx, ody, odz), i,
+                                 occlusion)
 
         def popk_wide(sp, t_b):
             """4-WIDE BLAS pops (kernels/wide4.py popk with the BLAS
@@ -542,7 +544,7 @@ def _tlas_kernel(with_stats, uniform_o, smem_codes, wide, tri_rows, *refs):
 
 
 def _run_tlas(scene: SceneArrays, tables: TlasTables, tiled, interpret,
-              worigin=None):
+              worigin=None, occlusion=False):
     uniform_o = worigin is not None
     if uniform_o:
         dx = tiled[0]
@@ -600,7 +602,7 @@ def _run_tlas(scene: SceneArrays, tables: TlasTables, tiled, interpret,
     out_shape = (f32s, i32s, i32s) + ((i32s, i32s) if with_stats else ())
     kernel = functools.partial(
         _tlas_kernel, with_stats, uniform_o, smem_codes, wide,
-        trif.shape[0],
+        trif.shape[0], occlusion,
     )
     outs = pl.pallas_call(
         kernel,
@@ -625,7 +627,8 @@ def _run_tlas(scene: SceneArrays, tables: TlasTables, tiled, interpret,
     return t, tri, inst
 
 
-def cast_rays_tlas(scene: SceneArrays, origin, directions, interpret=None):
+def cast_rays_tlas(scene: SceneArrays, origin, directions, interpret=None,
+                   occlusion=False):
     """Nearest-hit query with the two-level TLAS/BLAS packet kernel.
     Requires scene.tlas (SceneArrays.with_tlas / Scene.compile). Same
     Hit record and ray-layout handling as cast_rays_pallas."""
@@ -655,7 +658,8 @@ def cast_rays_tlas(scene: SceneArrays, origin, directions, interpret=None):
         if not uniform_o:
             srcs = [(origin, 0), (origin, 1), (origin, 2)] + srcs
         tiled = tuple(_image_to_tiles(a[..., c]) for a, c in srcs)
-        t, tri, inst = _run_tlas(scene, tables, tiled, interpret, worigin)
+        t, tri, inst = _run_tlas(scene, tables, tiled, interpret, worigin,
+                          occlusion)
         return Hit(
             t=_tiles_to_image(t, h, w),
             tri=_tiles_to_image(tri, h, w),
@@ -678,6 +682,7 @@ def cast_rays_tlas(scene: SceneArrays, origin, directions, interpret=None):
             )
         srcs = [(flat_o, 0), (flat_o, 1), (flat_o, 2)] + srcs
     tiled = tuple(a[:, c].reshape(-1, TILE_S, TILE_L) for a, c in srcs)
-    t, tri, inst = _run_tlas(scene, tables, tiled, interpret, worigin)
+    t, tri, inst = _run_tlas(scene, tables, tiled, interpret, worigin,
+                          occlusion)
     unpack = lambda a: a.reshape(-1)[:r].reshape(shape)
     return Hit(t=unpack(t), tri=unpack(tri), inst=unpack(inst))

@@ -142,7 +142,7 @@ LEAF_UNROLL = 8  # triangles tested per leaf-loop iteration (leaves avg ~12 at m
 assert LEAF_UNROLL == REC_PER_ROW
 
 
-def make_test_tri(oo, od, inst_val):
+def make_test_tri(oo, od, inst_val, occlusion=False):
     """Build the dense per-triangle test closure shared by ALL Pallas
     kernels (binary, 4-wide, dual, TLAS, paged): one triangle record
     against the whole ray tile (TrianglePrimitive.hpp:62-79, 151-169;
@@ -171,7 +171,16 @@ def make_test_tri(oo, od, inst_val):
     (origin components may be scalars on the uniform-origin path);
     ``inst_val`` is the instance id to record on hits, or None to skip
     instance tracking (single-instance kernels derive inst from tri_b
-    at output time: where(tri >= 0, 0, -1))."""
+    at output time: where(tri >= 0, 0, -1)).
+
+    ``occlusion``: ANY-HIT mode for shadow rays — an accepted hit sets
+    the ray's best t to -BIG instead of t, so every subsequent slab
+    test (near < t_cap) and triangle test (t < t_b) fails for that ray
+    and its traversal work collapses immediately (the in-flight analog
+    of dead-ray parking). Output semantics: t = -BIG means occluded,
+    FLT_MAX means clear; nearest-hit ordering is NOT preserved (the
+    first accepted hit wins), which is exactly what boolean shadow
+    queries need (raycast.cu:263-287's cast is also boolean)."""
     oox, ooy, ooz = oo
     odx, ody, odz = od
 
@@ -215,7 +224,8 @@ def make_test_tri(oo, od, inst_val):
             & (u + v <= 1.0 + EDGE_EPS)
             & (t < t_b)
         )
-        out_t = jnp.where(ok, t, t_b)
+        hit_t = jnp.float32(-BIG) if occlusion else t
+        out_t = jnp.where(ok, hit_t, t_b)
         out_tri = jnp.where(ok, k, tri_b)
         if inst_val is None:
             return out_t, out_tri, in_b
@@ -244,6 +254,7 @@ def _traversal_kernel(
     bf16_box: bool,
     uniform_o: bool,
     smem_codes: bool,
+    occlusion: bool,
     *refs,
 ):
     if uniform_o:
@@ -529,7 +540,7 @@ def _traversal_kernel(
 
         test_tri = make_test_tri(
             (oox, ooy, ooz), (odx, ody, odz),
-            None if num_instances == 1 else i,
+            None if num_instances == 1 else i, occlusion,
         )
 
         def popk(sp, t_b):
@@ -893,7 +904,7 @@ def _stats_enabled() -> bool:
 
 
 def _run_kernel(scene: SceneArrays, tiled, interpret: bool, frustum: bool,
-                bf16_box: bool, worigin=None):
+                bf16_box: bool, worigin=None, occlusion: bool = False):
     """Invoke the pallas traversal over [n_tiles, TILE_S, 128] ray
     tiles, one tile per grid step. ``worigin`` (a [3] world origin)
     selects the uniform-origin specialization: ``tiled`` then carries
@@ -960,7 +971,7 @@ def _run_kernel(scene: SceneArrays, tiled, interpret: bool, frustum: bool,
     out_shape = (f32s, i32s, i32s) + ((i32s, i32s) if with_stats else ())
     kernel = functools.partial(
         _traversal_kernel, scene.num_instances, with_stats, frustum,
-        bf16_box and not frustum, uniform_o, smem_codes,
+        bf16_box and not frustum, uniform_o, smem_codes, occlusion,
     )
     outs = pl.pallas_call(
         kernel,
@@ -1047,7 +1058,7 @@ def _bf16_default() -> bool:
 
 
 def cast_rays_pallas(scene: SceneArrays, origin, directions, interpret=None,
-                     frustum=None, bf16_box=None):
+                     frustum=None, bf16_box=None, occlusion=False):
     """Nearest-hit query with the packet kernel. Accepts [H, W, 3]
     directions (tiled as PIX_H x PIX_W coherent pixel blocks) or flat
     [..., 3] (chunked linearly). Returns the same Hit record as the XLA
@@ -1094,7 +1105,8 @@ def cast_rays_pallas(scene: SceneArrays, origin, directions, interpret=None,
     ):
         from .tlas import cast_rays_tlas
 
-        return cast_rays_tlas(scene, origin, directions, interpret=interpret)
+        return cast_rays_tlas(scene, origin, directions,
+                              interpret=interpret, occlusion=occlusion)
     if (
         scene.wide4 is not None
         and _wide4_default()
@@ -1102,11 +1114,13 @@ def cast_rays_pallas(scene: SceneArrays, origin, directions, interpret=None,
     ):
         from .wide4 import cast_rays_wide4
 
-        return cast_rays_wide4(scene, origin, directions, interpret=interpret)
+        return cast_rays_wide4(scene, origin, directions,
+                               interpret=interpret, occlusion=occlusion)
     if _dual_default() and not (frustum or bf16_box):
         from .dual import cast_rays_dual
 
-        return cast_rays_dual(scene, origin, directions, interpret=interpret)
+        return cast_rays_dual(scene, origin, directions,
+                              interpret=interpret, occlusion=occlusion)
     directions = jnp.asarray(directions, jnp.float32)
     origin = jnp.asarray(origin, jnp.float32)
     # Static uniform-origin detection: generate_rays returns a single
@@ -1132,7 +1146,8 @@ def cast_rays_pallas(scene: SceneArrays, origin, directions, interpret=None,
             srcs = [(origin, 0), (origin, 1), (origin, 2)] + srcs
         tiled = tuple(_image_to_tiles(a[..., c]) for a, c in srcs)
         t, tri, inst = _run_kernel(
-            scene, tiled, interpret, frustum, bf16_box, worigin
+            scene, tiled, interpret, frustum, bf16_box, worigin,
+            occlusion,
         )
         return Hit(
             t=_tiles_to_image(t, h, w),
@@ -1155,7 +1170,7 @@ def cast_rays_pallas(scene: SceneArrays, origin, directions, interpret=None,
         srcs = [(flat_o, 0), (flat_o, 1), (flat_o, 2)] + srcs
     tiled = tuple(a[:, c].reshape(-1, TILE_S, TILE_L) for a, c in srcs)
     t, tri, inst = _run_kernel(
-        scene, tiled, interpret, frustum, bf16_box, worigin
+        scene, tiled, interpret, frustum, bf16_box, worigin, occlusion
     )
     unpack = lambda a: a.reshape(-1)[:r].reshape(shape)
     return Hit(t=unpack(t), tri=unpack(tri), inst=unpack(inst))

@@ -137,7 +137,7 @@ def build_wide4(scene: SceneArrays) -> Wide4Tables:
     )
 
 
-def _wide4_kernel(num_instances, with_stats, uniform_o, *refs):
+def _wide4_kernel(num_instances, with_stats, uniform_o, occlusion, *refs):
     (
         inst_tab_ref,  # SMEM [I, 12] f32
         inst_root_ref,  # SMEM [I] i32 wide root per instance
@@ -242,7 +242,7 @@ def _wide4_kernel(num_instances, with_stats, uniform_o, *refs):
 
         test_tri = make_test_tri(
             (oox, ooy, ooz), (odx, ody, odz),
-            None if num_instances == 1 else i,
+            None if num_instances == 1 else i, occlusion,
         )
 
         def popk(sp, t_b):
@@ -356,7 +356,7 @@ def _wide4_kernel(num_instances, with_stats, uniform_o, *refs):
 
 
 def _run_wide4(scene: SceneArrays, tables: Wide4Tables, tiled, interpret,
-               worigin=None):
+               worigin=None, occlusion=False):
     uniform_o = worigin is not None
     dx = tiled[0] if uniform_o else tiled[3]
     n_tiles = dx.shape[0]
@@ -395,7 +395,8 @@ def _run_wide4(scene: SceneArrays, tables: Wide4Tables, tiled, interpret,
     i32s = jax.ShapeDtypeStruct((n_tiles, TILE_S, TILE_L), jnp.int32)
     out_shape = (f32s, i32s, i32s) + ((i32s, i32s) if with_stats else ())
     kernel = functools.partial(
-        _wide4_kernel, scene.num_instances, with_stats, uniform_o
+        _wide4_kernel, scene.num_instances, with_stats, uniform_o,
+        occlusion,
     )
     outs = pl.pallas_call(
         kernel,
@@ -420,7 +421,8 @@ def _run_wide4(scene: SceneArrays, tables: Wide4Tables, tiled, interpret,
     return t, tri, inst
 
 
-def cast_rays_wide4(scene: SceneArrays, origin, directions, interpret=None):
+def cast_rays_wide4(scene: SceneArrays, origin, directions, interpret=None,
+                    occlusion=False):
     """Nearest-hit query with the 4-wide packet kernel. Requires
     scene.wide4 (attached at Scene.compile). Same Hit record and
     ray-layout handling as cast_rays_pallas."""
@@ -450,7 +452,8 @@ def cast_rays_wide4(scene: SceneArrays, origin, directions, interpret=None):
         if not uniform_o:
             srcs = [(origin, 0), (origin, 1), (origin, 2)] + srcs
         tiled = tuple(_image_to_tiles(a[..., c]) for a, c in srcs)
-        t, tri, inst = _run_wide4(scene, tables, tiled, interpret, worigin)
+        t, tri, inst = _run_wide4(scene, tables, tiled, interpret, worigin,
+                           occlusion)
         return Hit(
             t=_tiles_to_image(t, h, w),
             tri=_tiles_to_image(tri, h, w),
@@ -473,6 +476,7 @@ def cast_rays_wide4(scene: SceneArrays, origin, directions, interpret=None):
             )
         srcs = [(flat_o, 0), (flat_o, 1), (flat_o, 2)] + srcs
     tiled = tuple(a[:, c].reshape(-1, TILE_S, TILE_L) for a, c in srcs)
-    t, tri, inst = _run_wide4(scene, tables, tiled, interpret, worigin)
+    t, tri, inst = _run_wide4(scene, tables, tiled, interpret, worigin,
+                           occlusion)
     unpack = lambda a: a.reshape(-1)[:r].reshape(shape)
     return Hit(t=unpack(t), tri=unpack(tri), inst=unpack(inst))

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from ..core.vecmath import FLT_MAX, dot, normalize
 from ..scene.scene import SceneArrays
-from .renderer import get_cast_fn, hit_attributes
+from .renderer import get_cast_fn, hit_attributes, occlusion_cast_fn
 from .shade import DEFAULT_LIGHT_DIRECTION, SHADOW_EPS, surface_color
 from .sorted_cast import secondary_cast_fn as _secondary_cast_fn
 
@@ -52,16 +52,20 @@ from .sorted_cast import park_dead_rays as _park
 
 
 def _direct_illumination(
-    scene, cast, attrs, light_direction, point_lights, exact, shadows
+    scene, cast, attrs, light_direction, point_lights, exact, shadows,
+    occ_cast=None,
 ):
     """Directional + point-light contribution at the hit points, with
-    hard shadow rays (the disabled reference path, raycast.cu:263-287)."""
+    hard shadow rays (the disabled reference path, raycast.cu:263-287).
+    ``occ_cast``: ANY-HIT cast for the boolean directional shadow
+    (renderer.occlusion_cast_fn); point lights keep the nearest-hit
+    ``cast`` (their query is distance-bounded)."""
     illum = jnp.zeros(attrs.t.shape, jnp.float32)
     if light_direction is not None:
         ldir = normalize(jnp.asarray(light_direction, jnp.float32), exact=exact)
         cos_i = jnp.maximum(dot(attrs.normal, ldir), 0.0)
         if shadows:
-            occ = cast(
+            occ = (occ_cast or cast)(
                 scene,
                 *_park(
                     attrs.location + ldir * SHADOW_EPS,
@@ -117,6 +121,7 @@ def render_whitted(
         retile_secondary = env != "0"
     cast = get_cast_fn(backend)
     cast2 = _secondary_cast_fn(cast, backend, sort_secondary)
+    occ_cast = occlusion_cast_fn(backend)
     directions = jnp.asarray(directions, jnp.float32)
     origin = jnp.broadcast_to(jnp.asarray(origin, jnp.float32), directions.shape)
     shape = directions.shape[:-1]
@@ -170,7 +175,8 @@ def render_whitted(
         live = active & attrs.hit
         color = surface_color(scene, attrs)
         illum = _direct_illumination(
-            scene, cast2, attrs, light_direction, point_lights, exact, shadows
+            scene, cast2, attrs, light_direction, point_lights, exact,
+            shadows, occ_cast=occ_cast,
         )
         illum = jnp.clip(illum, 0.4, 1.0)  # reference clamp (raycast.cu:289-290)
         rpack = jnp.stack(

@@ -315,6 +315,23 @@ def _cast_rays_paged_major(scene: SceneArrays, origin, directions) -> Hit:
     return cast_rays_paged_major(scene, tables, origin, directions)
 
 
+def occlusion_cast_fn(backend: str):
+    """ANY-HIT cast for BOOLEAN shadow queries (occluded iff
+    t < FLT_MAX): on the pallas backend the packet kernels collapse a
+    ray's remaining traversal the moment ANY hit is accepted
+    (make_test_tri occlusion mode — t becomes -BIG, killing every
+    later slab/triangle test for that lane), which is all a hard
+    shadow needs. Other backends return their nearest-hit cast (same
+    boolean). Distance-bounded queries (point lights) must NOT use
+    this. TRT_OCC_SHADOW=0 forces nearest-hit casts for A/B."""
+    import os
+
+    cast = get_cast_fn(backend)
+    if backend == "pallas" and os.environ.get("TRT_OCC_SHADOW", "1") != "0":
+        return functools.partial(cast, occlusion=True)
+    return cast
+
+
 def get_cast_fn(backend: str):
     if backend == "pallas":
         from ..kernels.traversal import cast_rays_pallas

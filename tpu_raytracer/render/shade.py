@@ -156,9 +156,10 @@ def compute_illumination(
             spec = jnp.maximum(dot(attrs.normal, half), 0.0)
             illum = illum + BLINN_SPECULAR * spec ** BLINN_SHININESS
         elif mode == "lambert_shadow":
-            from .sorted_cast import park_dead_rays, secondary_cast_fn
+            from .renderer import occlusion_cast_fn
+            from .sorted_cast import park_dead_rays
 
-            cast = secondary_cast_fn(get_cast_fn(backend), backend)
+            cast = occlusion_cast_fn(backend)
             shadow_origin = attrs.location + light_dir * SHADOW_EPS
             # no shadow ray where the primary missed: parked lanes fail
             # the root box test so sky-dominated tiles cast for free
