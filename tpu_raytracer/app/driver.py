@@ -64,6 +64,7 @@ def run(
     fly: bool = False,
     point_lights: tuple = (),
     no_sun: bool = False,
+    texture_filter: str = "nearest",
 ):
     """The render loop (kernel.cu:266-296): N timed frames, FPS printed
     per frame, final frame saved with the FPS overlay.
@@ -119,7 +120,7 @@ def run(
     config = RenderConfig(
         width=width, height=height, backend=backend, lighting=lighting,
         light_direction=None if no_sun else DEFAULT_LIGHT_DIRECTION,
-        point_lights=plights,
+        point_lights=plights, texture_filter=texture_filter,
     )
     key = jax.random.PRNGKey(0)
     fps = 0.0
@@ -182,6 +183,11 @@ def main():
              "repeatable (raycast.cu:286-287 realized)")
     ap.add_argument("--no-sun", action="store_true",
                     help="drop the directional light (point lights only)")
+    ap.add_argument("--texture-filter", default="nearest",
+                    choices=["nearest", "bilinear"],
+                    help="nearest = reference-exact sampling "
+                         "(raycast.cu:224-240); bilinear = smooth "
+                         "framework extension")
     args = ap.parse_args()
     plights = tuple(
         tuple(float(v) for v in spec.split(","))
@@ -192,6 +198,7 @@ def main():
         backend=args.backend, out=args.out, animate=not args.no_animate,
         lighting=args.lighting, scene_name=args.scene, mode=args.mode,
         fly=args.fly, point_lights=plights, no_sun=args.no_sun,
+        texture_filter=args.texture_filter,
     )
 
 

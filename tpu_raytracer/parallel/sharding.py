@@ -42,6 +42,7 @@ def _shard_body(config: RenderConfig, scene: SceneArrays, origin, directions):
         scene, attrs, config.light_direction, config.lighting,
         exact=config.exact_math, backend=config.backend,
         directions=directions, point_lights=config.point_lights,
+        tex_filter=config.texture_filter,
     )
 
 
@@ -98,6 +99,7 @@ def _whitted_body(config: RenderConfig, bounces, scene, origin, directions):
         scene, origin, directions, max_bounces=bounces,
         backend=config.backend, light_direction=config.light_direction,
         point_lights=config.point_lights, exact=config.exact_math,
+        tex_filter=config.texture_filter,
     ))
 
 
@@ -147,6 +149,7 @@ def _path_body(config: RenderConfig, bounces, samples, scene, origin,
         scene, origin, directions, key[0], max_bounces=bounces,
         samples=samples, backend=config.backend, exact=config.exact_math,
         sort_secondary=False,  # argsort inside shard_map: keep it simple
+        tex_filter=config.texture_filter,
     ))
 
 

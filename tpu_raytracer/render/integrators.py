@@ -97,6 +97,7 @@ def render_whitted(
     exact: bool = True,
     sort_secondary: bool = False,
     retile_secondary: bool = False,
+    tex_filter: str = "nearest",
 ) -> jax.Array:
     """Whitted-style recursive reflections, iteratively unrolled.
 
@@ -173,7 +174,7 @@ def render_whitted(
         radiance = radiance + jnp.where(miss[..., None], throughput * sky, 0.0)
 
         live = active & attrs.hit
-        color = surface_color(scene, attrs)
+        color = surface_color(scene, attrs, tex_filter=tex_filter)
         illum = _direct_illumination(
             scene, cast2, attrs, light_direction, point_lights, exact,
             shadows, occ_cast=occ_cast,
@@ -234,6 +235,7 @@ def render_path_traced(
     sky_strength: float = 1.0,
     exact: bool = True,
     sort_secondary: bool = True,
+    tex_filter: str = "nearest",
 ) -> jax.Array:
     """Monte-Carlo path tracing (the stochastic bounce design the
     reference's curand setup anticipated, raycast.cu:190-193).
@@ -261,7 +263,7 @@ def render_path_traced(
         miss = active & ~attrs.hit
         radiance = radiance + jnp.where(miss[..., None], throughput * sky, 0.0)
         live = active & attrs.hit
-        color = surface_color(scene, attrs)
+        color = surface_color(scene, attrs, tex_filter=tex_filter)
         emit = scene.mat_illumination[attrs.material]
         radiance = radiance + jnp.where(
             live[..., None], throughput * emit[..., None], 0.0

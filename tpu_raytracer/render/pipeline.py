@@ -35,6 +35,9 @@ class RenderConfig:
     # cast_toward_lights, raycast.cu:286-287. Used by the whitted path;
     # set light_direction=None to render with point lights alone.
     point_lights: tuple = ()
+    # nearest = the reference's exact sampling (raycast.cu:224-240);
+    # bilinear = framework extension (4 corner gathers + lerp).
+    texture_filter: str = "nearest"
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -58,6 +61,7 @@ def render_image(
         scene, attrs, config.light_direction, config.lighting,
         exact=config.exact_math, backend=config.backend,
         directions=directions, point_lights=config.point_lights,
+        tex_filter=config.texture_filter,
     )
 
 
@@ -116,7 +120,7 @@ def render_image_whitted(
         max_bounces=max_bounces, backend=config.backend,
         light_direction=config.light_direction,
         point_lights=config.point_lights, shadows=shadows,
-        exact=config.exact_math,
+        exact=config.exact_math, tex_filter=config.texture_filter,
     )
     return to_u8(radiance)
 
@@ -143,6 +147,6 @@ def render_image_path_traced(
     radiance = render_path_traced(
         scene, origin, directions, key,
         max_bounces=max_bounces, samples=samples, backend=config.backend,
-        exact=config.exact_math,
+        exact=config.exact_math, tex_filter=config.texture_filter,
     )
     return to_u8(radiance)

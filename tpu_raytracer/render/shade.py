@@ -63,33 +63,74 @@ def _c_mod(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.where(a >= 0, a % jnp.maximum(b, 1), -((-a) % jnp.maximum(b, 1)))
 
 
-def sample_texture(scene: SceneArrays, material, uv) -> jax.Array:
-    """Nearest-neighbor texture fetch from the flat atlas with the
-    reference's wrap semantics (raycast.cu:224-240). Returns [..., 3]
-    f32 in [0, 1]."""
+def sample_texture(
+    scene: SceneArrays, material, uv, tex_filter: str = "nearest"
+) -> jax.Array:
+    """Texture fetch from the flat atlas. ``nearest`` reproduces the
+    reference's wrap semantics exactly (raycast.cu:224-240);
+    ``bilinear`` is a framework extension (the reference has no
+    filtering) — texel-center convention, positive wrap on both
+    corners. Returns [..., 3] f32 in [0, 1]."""
     return _sample_texture_vals(
         scene, scene.mat_tex_start[material], scene.mat_tex_w[material],
-        scene.mat_tex_h[material], uv,
+        scene.mat_tex_h[material], uv, tex_filter=tex_filter,
     )
 
 
-def _sample_texture_vals(scene, start, w, h, uv) -> jax.Array:
+def _fetch_texel(scene, idx) -> jax.Array:
+    # atlas texels are PACKED one-i32-per-texel (r | g<<8 | b<<16,
+    # scene.py): a single-word gather is far cheaper on TPU than a
+    # [P, 3] u8 row gather; unpack with shifts after the gather
+    word = scene.tex_atlas[jnp.clip(idx, 0, scene.tex_atlas.shape[0] - 1)]
+    return jnp.stack(
+        [word & 0xFF, (word >> 8) & 0xFF, (word >> 16) & 0xFF], axis=-1
+    ).astype(jnp.float32)
+
+
+def _sample_texture_vals(scene, start, w, h, uv, tex_filter="nearest"):
+    if tex_filter == "bilinear":
+        return _sample_texture_bilinear(scene, start, w, h, uv)
+    if tex_filter != "nearest":
+        raise ValueError(f"unknown texture filter: {tex_filter!r}")
     tex_x = (uv[..., 0] * w.astype(jnp.float32)).astype(jnp.int32)
     tex_y = ((1.0 - uv[..., 1]) * h.astype(jnp.float32)).astype(jnp.int32)
     tex_x = jnp.maximum(_c_mod(tex_x, w), 0)
     tex_y = jnp.maximum(_c_mod(tex_y, h), 0)
     idx = jnp.maximum(start, 0) + tex_y * w + tex_x
-    # atlas texels are PACKED one-i32-per-texel (r | g<<8 | b<<16,
-    # scene.py): a single-word gather is far cheaper on TPU than a
-    # [P, 3] u8 row gather; unpack with shifts after the gather
-    word = scene.tex_atlas[jnp.clip(idx, 0, scene.tex_atlas.shape[0] - 1)]
-    texel = jnp.stack(
-        [word & 0xFF, (word >> 8) & 0xFF, (word >> 16) & 0xFF], axis=-1
-    )
-    return texel.astype(jnp.float32) * jnp.float32(0.0039215)
+    return _fetch_texel(scene, idx) * jnp.float32(0.0039215)
 
 
-def surface_color(scene: SceneArrays, attrs: HitAttributes) -> jax.Array:
+def _sample_texture_bilinear(scene, start, w, h, uv) -> jax.Array:
+    """Bilinear filter over the packed atlas: 4 corner gathers + lerp.
+    Texel centers sit at (i + 0.5) / w (the GL convention), v flipped
+    like the nearest path; corners wrap toroidally (true positive
+    modulo — bilinear has no C-truncation history to preserve)."""
+    wf = w.astype(jnp.float32)
+    hf = h.astype(jnp.float32)
+    x = uv[..., 0] * wf - 0.5
+    y = (1.0 - uv[..., 1]) * hf - 0.5
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = (x - x0.astype(jnp.float32))[..., None]
+    fy = (y - y0.astype(jnp.float32))[..., None]
+    wp = jnp.maximum(w, 1)
+    hp = jnp.maximum(h, 1)
+    wrap = lambda i, n: ((i % n) + n) % n
+    xw = (wrap(x0, wp), wrap(x0 + 1, wp))
+    yw = (wrap(y0, hp), wrap(y0 + 1, hp))
+    base = jnp.maximum(start, 0)
+    c00 = _fetch_texel(scene, base + yw[0] * w + xw[0])
+    c10 = _fetch_texel(scene, base + yw[0] * w + xw[1])
+    c01 = _fetch_texel(scene, base + yw[1] * w + xw[0])
+    c11 = _fetch_texel(scene, base + yw[1] * w + xw[1])
+    top = c00 + (c10 - c00) * fx
+    bot = c01 + (c11 - c01) * fx
+    return (top + (bot - top) * fy) * jnp.float32(0.0039215)
+
+
+def surface_color(
+    scene: SceneArrays, attrs: HitAttributes, tex_filter: str = "nearest"
+) -> jax.Array:
     """Texture sample where textured, else albedo (raycast.cu:224-245).
     Multiplied against the ray color (init (1,1,1), Ray.hpp:21).
     Two packed gathers instead of four: one [K, 3] f32 albedo gather and
@@ -104,7 +145,8 @@ def surface_color(scene: SceneArrays, attrs: HitAttributes) -> jax.Array:
     start = mi[..., 0]
     w = mi[..., 1]
     h = mi[..., 2]
-    tex = _sample_texture_vals(scene, start, w, h, attrs.uv)
+    tex = _sample_texture_vals(scene, start, w, h, attrs.uv,
+                               tex_filter=tex_filter)
     return jnp.where((start >= 0)[..., None], tex, alb)
 
 
@@ -198,10 +240,11 @@ def shade_primary(
     backend: str = "bvh",
     directions=None,
     point_lights: tuple = (),
+    tex_filter: str = "nearest",
 ) -> jax.Array:
     """Full primary-hit shade -> uint8 image in the reference's channel
     order. Misses get the sky color (raycast.cu:208-216)."""
-    color = surface_color(scene, attrs)
+    color = surface_color(scene, attrs, tex_filter=tex_filter)
     illum = compute_illumination(
         scene, attrs, light_direction, mode, exact=exact, backend=backend,
         directions=directions, point_lights=point_lights,
