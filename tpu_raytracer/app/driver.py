@@ -65,6 +65,7 @@ def run(
     point_lights: tuple = (),
     no_sun: bool = False,
     texture_filter: str = "nearest",
+    ssaa: int = 1,
 ):
     """The render loop (kernel.cu:266-296): N timed frames, FPS printed
     per frame, final frame saved with the FPS overlay.
@@ -121,6 +122,7 @@ def run(
         width=width, height=height, backend=backend, lighting=lighting,
         light_direction=None if no_sun else DEFAULT_LIGHT_DIRECTION,
         point_lights=plights, texture_filter=texture_filter,
+        ssaa=ssaa,
     )
     key = jax.random.PRNGKey(0)
     fps = 0.0
@@ -153,7 +155,7 @@ def run(
         jax.block_until_ready(img)
         elapsed = time.perf_counter() - start
         fps = 1.0 / elapsed
-        mrays = width * height / elapsed / 1e6
+        mrays = width * height * ssaa * ssaa / elapsed / 1e6
         print(f"FPS: {fps:.2f}  ({mrays:.1f} Mrays/s)")
 
     save_png(overlay_fps(np.asarray(img), fps), out)
@@ -183,6 +185,10 @@ def main():
              "repeatable (raycast.cu:286-287 realized)")
     ap.add_argument("--no-sun", action="store_true",
                     help="drop the directional light (point lights only)")
+    ap.add_argument("--ssaa", type=int, default=1,
+                    help="supersampling factor: render at NxN subpixels "
+                         "per pixel and box-average (1 = reference "
+                         "parity, one ray per pixel)")
     ap.add_argument("--texture-filter", default="nearest",
                     choices=["nearest", "bilinear"],
                     help="nearest = reference-exact sampling "
@@ -198,7 +204,7 @@ def main():
         backend=args.backend, out=args.out, animate=not args.no_animate,
         lighting=args.lighting, scene_name=args.scene, mode=args.mode,
         fly=args.fly, point_lights=plights, no_sun=args.no_sun,
-        texture_filter=args.texture_filter,
+        texture_filter=args.texture_filter, ssaa=args.ssaa,
     )
 
 

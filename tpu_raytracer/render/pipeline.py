@@ -38,6 +38,31 @@ class RenderConfig:
     # nearest = the reference's exact sampling (raycast.cu:224-240);
     # bilinear = framework extension (4 corner gathers + lerp).
     texture_filter: str = "nearest"
+    # Supersampled anti-aliasing factor (framework extension; the
+    # reference shoots exactly one ray per pixel, raycast.cu:147-152).
+    # ssaa=s renders at s*width x s*height with the intrinsics scaled
+    # to keep the field of view, then box-averages s x s blocks.
+    ssaa: int = 1
+
+
+def _with_ssaa(config: RenderConfig, K_inv, body):
+    """Run ``body(cfg, K_inv) -> u8 [h, w, 3]`` at ssaa x resolution and
+    box-downsample. K' = diag(s, s, 1) @ K keeps the FOV, so
+    K'_inv = K_inv @ diag(1/s, 1/s, 1) (column scale)."""
+    s = config.ssaa
+    if s <= 1:
+        return body(config, K_inv)
+    sub = dataclasses.replace(
+        config, width=config.width * s, height=config.height * s, ssaa=1
+    )
+    K_inv_s = jnp.asarray(K_inv, jnp.float32) * jnp.array(
+        [1.0 / s, 1.0 / s, 1.0], jnp.float32
+    )
+    big = body(sub, K_inv_s)
+    f = big.astype(jnp.float32).reshape(
+        config.height, s, config.width, s, 3
+    ).mean(axis=(1, 3))
+    return jnp.round(f).astype(jnp.uint8)
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -50,19 +75,24 @@ def render_image(
     inv_pose: jax.Array,
 ) -> jax.Array:
     """Render one frame -> uint8 [H, W, 3] (reference channel order)."""
-    origin, directions = generate_rays(
-        config.width, config.height, K_inv, D, pose, inv_pose,
-        exact=config.exact_math,
-    )
-    cast = get_cast_fn(config.backend)
-    hit = cast(scene, origin, directions)
-    attrs = hit_attributes(scene, origin, directions, hit, exact=config.exact_math)
-    return shade_primary(
-        scene, attrs, config.light_direction, config.lighting,
-        exact=config.exact_math, backend=config.backend,
-        directions=directions, point_lights=config.point_lights,
-        tex_filter=config.texture_filter,
-    )
+    def body(cfg, K_inv_b):
+        origin, directions = generate_rays(
+            cfg.width, cfg.height, K_inv_b, D, pose, inv_pose,
+            exact=cfg.exact_math,
+        )
+        cast = get_cast_fn(cfg.backend)
+        hit = cast(scene, origin, directions)
+        attrs = hit_attributes(
+            scene, origin, directions, hit, exact=cfg.exact_math
+        )
+        return shade_primary(
+            scene, attrs, cfg.light_direction, cfg.lighting,
+            exact=cfg.exact_math, backend=cfg.backend,
+            directions=directions, point_lights=cfg.point_lights,
+            tex_filter=cfg.texture_filter,
+        )
+
+    return _with_ssaa(config, K_inv, body)
 
 
 def render_image_paged(
@@ -111,18 +141,21 @@ def render_image_whitted(
     """Whitted reflective render -> uint8 [H, W, 3] (BASELINE config 4)."""
     from .integrators import render_whitted, to_u8
 
-    origin, directions = generate_rays(
-        config.width, config.height, K_inv, D, pose, inv_pose,
-        exact=config.exact_math,
-    )
-    radiance = render_whitted(
-        scene, origin, directions,
-        max_bounces=max_bounces, backend=config.backend,
-        light_direction=config.light_direction,
-        point_lights=config.point_lights, shadows=shadows,
-        exact=config.exact_math, tex_filter=config.texture_filter,
-    )
-    return to_u8(radiance)
+    def body(cfg, K_inv_b):
+        origin, directions = generate_rays(
+            cfg.width, cfg.height, K_inv_b, D, pose, inv_pose,
+            exact=cfg.exact_math,
+        )
+        radiance = render_whitted(
+            scene, origin, directions,
+            max_bounces=max_bounces, backend=cfg.backend,
+            light_direction=cfg.light_direction,
+            point_lights=cfg.point_lights, shadows=shadows,
+            exact=cfg.exact_math, tex_filter=cfg.texture_filter,
+        )
+        return to_u8(radiance)
+
+    return _with_ssaa(config, K_inv, body)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 7, 8))
@@ -140,13 +173,16 @@ def render_image_path_traced(
     """Monte-Carlo path-traced render -> uint8 (BASELINE config 5)."""
     from .integrators import render_path_traced, to_u8
 
-    origin, directions = generate_rays(
-        config.width, config.height, K_inv, D, pose, inv_pose,
-        exact=config.exact_math,
-    )
-    radiance = render_path_traced(
-        scene, origin, directions, key,
-        max_bounces=max_bounces, samples=samples, backend=config.backend,
-        exact=config.exact_math, tex_filter=config.texture_filter,
-    )
-    return to_u8(radiance)
+    def body(cfg, K_inv_b):
+        origin, directions = generate_rays(
+            cfg.width, cfg.height, K_inv_b, D, pose, inv_pose,
+            exact=cfg.exact_math,
+        )
+        radiance = render_path_traced(
+            scene, origin, directions, key,
+            max_bounces=max_bounces, samples=samples, backend=cfg.backend,
+            exact=cfg.exact_math, tex_filter=cfg.texture_filter,
+        )
+        return to_u8(radiance)
+
+    return _with_ssaa(config, K_inv, body)
