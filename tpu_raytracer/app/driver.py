@@ -66,6 +66,7 @@ def run(
     no_sun: bool = False,
     texture_filter: str = "nearest",
     ssaa: int = 1,
+    aovs: tuple = (),
 ):
     """The render loop (kernel.cu:266-296): N timed frames, FPS printed
     per frame, final frame saved with the FPS overlay.
@@ -159,7 +160,43 @@ def run(
         print(f"FPS: {fps:.2f}  ({mrays:.1f} Mrays/s)")
 
     save_png(overlay_fps(np.asarray(img), fps), out)
+    if aovs:
+        from ..render.pipeline import render_aovs
+
+        bufs = render_aovs(config, arrays, p["K_inv"], p["D"], p["pose"],
+                           p["inv_pose"])
+        stem = out[:-4] if out.endswith(".png") else out
+        for name in aovs:
+            save_png(_aov_to_u8(name, np.asarray(bufs[name])),
+                     f"{stem}.{name}.png")
+            print(f"AOV {name} -> {stem}.{name}.png")
     return np.asarray(img)
+
+
+def _aov_to_u8(name: str, a: np.ndarray) -> np.ndarray:
+    """Visualize an AOV buffer as u8 RGB: depth -> normalized inverse
+    ramp (near = bright), normal -> [-1,1] remapped, uv -> RG, ids ->
+    hashed palette, hit -> white on black."""
+    if name == "depth":
+        finite = np.isfinite(a)
+        if finite.any():
+            lo, hi = a[finite].min(), a[finite].max()
+            g = np.where(finite, 1.0 - (a - lo) / max(hi - lo, 1e-9), 0.0)
+        else:
+            g = np.zeros_like(a)
+        return np.repeat((g * 255).astype(np.uint8)[..., None], 3, -1)
+    if name == "normal":
+        return ((a * 0.5 + 0.5) * 255).astype(np.uint8)
+    if name == "uv":
+        img = np.zeros(a.shape[:-1] + (3,), np.uint8)
+        img[..., 0] = (np.clip(a[..., 0], 0, 1) * 255).astype(np.uint8)
+        img[..., 1] = (np.clip(a[..., 1], 0, 1) * 255).astype(np.uint8)
+        return img
+    if name in ("instance", "triangle"):
+        h = (a.astype(np.int64) * 2654435761) & 0xFFFFFF
+        img = np.stack([h & 0xFF, (h >> 8) & 0xFF, (h >> 16) & 0xFF], -1)
+        return np.where((a >= 0)[..., None], img, 0).astype(np.uint8)
+    return (a.astype(np.uint8) * 255)[..., None].repeat(3, -1)
 
 
 def main():
@@ -185,6 +222,11 @@ def main():
              "repeatable (raycast.cu:286-287 realized)")
     ap.add_argument("--no-sun", action="store_true",
                     help="drop the directional light (point lights only)")
+    ap.add_argument("--aov", action="append", default=[],
+                    choices=["depth", "normal", "uv", "instance",
+                             "triangle", "hit"],
+                    help="also write this AOV buffer as <out>.<aov>.png; "
+                         "repeatable")
     ap.add_argument("--ssaa", type=int, default=1,
                     help="supersampling factor: render at NxN subpixels "
                          "per pixel and box-average (1 = reference "
@@ -205,6 +247,7 @@ def main():
         lighting=args.lighting, scene_name=args.scene, mode=args.mode,
         fly=args.fly, point_lights=plights, no_sun=args.no_sun,
         texture_filter=args.texture_filter, ssaa=args.ssaa,
+        aovs=tuple(args.aov),
     )
 
 

@@ -2,6 +2,7 @@ from .camera import Camera, default_intrinsics, generate_rays
 from .pipeline import (
     RenderConfig,
     render,
+    render_aovs,
     render_image,
     render_image_path_traced,
     render_image_whitted,
@@ -30,6 +31,7 @@ __all__ = [
     "get_cast_fn",
     "hit_attributes",
     "render",
+    "render_aovs",
     "render_image",
     "shade_primary",
 ]

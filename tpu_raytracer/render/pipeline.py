@@ -95,6 +95,43 @@ def render_image(
     return _with_ssaa(config, K_inv, body)
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
+def render_aovs(
+    config: RenderConfig,
+    scene: SceneArrays,
+    K_inv: jax.Array,
+    D: jax.Array,
+    pose: jax.Array,
+    inv_pose: jax.Array,
+) -> dict:
+    """Arbitrary-output-variable render (framework extension — the
+    reference only ever writes the beauty image, raycast.cu:292-294).
+
+    Returns a dict of per-pixel buffers: ``depth`` [H, W] f32 world
+    distance (+inf on miss), ``normal`` [H, W, 3] f32 world unit normal
+    (0 on miss), ``uv`` [H, W, 2] f32, ``instance`` / ``triangle``
+    [H, W] i32 (-1 on miss), ``hit`` [H, W] bool. Useful for denoisers,
+    compositing, and debugging BVH traversal."""
+    origin, directions = generate_rays(
+        config.width, config.height, K_inv, D, pose, inv_pose,
+        exact=config.exact_math,
+    )
+    cast = get_cast_fn(config.backend)
+    hit = cast(scene, origin, directions)
+    attrs = hit_attributes(
+        scene, origin, directions, hit, exact=config.exact_math
+    )
+    miss_i = jnp.int32(-1)
+    return {
+        "depth": jnp.where(attrs.hit, attrs.t, jnp.float32(jnp.inf)),
+        "normal": jnp.where(attrs.hit[..., None], attrs.normal, 0.0),
+        "uv": jnp.where(attrs.hit[..., None], attrs.uv, 0.0),
+        "instance": jnp.where(attrs.hit, attrs.inst, miss_i),
+        "triangle": jnp.where(attrs.hit, hit.tri, miss_i),
+        "hit": attrs.hit,
+    }
+
+
 def render_image_paged(
     config: RenderConfig,
     scene: SceneArrays,
