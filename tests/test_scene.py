@@ -73,8 +73,16 @@ def test_scene_compiles_with_offsets():
     # texture atlas packed
     assert int(arrays.mat_tex_start[1]) == 0
     assert int(arrays.mat_tex_w[1]) == 64
-    assert arrays.tex_atlas.shape[0] == 64 * 64
+    # atlas holds the full mip chain: 64^2 + 32^2 + ... + 1 = 5461
+    chain = sum(max(64 >> l, 1) ** 2 for l in range(7))
+    assert arrays.tex_atlas.shape[0] == chain
     assert int(arrays.mat_tex_start[0]) == -1
+    # mip table: level starts are cumulative; untextured rows are -1
+    mips = np.asarray(arrays.mat_tex_mip_start)
+    assert mips.shape == (2, 7)
+    assert (mips[0] == -1).all()
+    assert mips[1][0] == 0 and mips[1][1] == 64 * 64
+    assert mips[1][-1] == chain - 1
 
 
 def test_scene_roundtrips_through_save_load(tmp_path):

@@ -232,7 +232,7 @@ def main():
                          "per pixel and box-average (1 = reference "
                          "parity, one ray per pixel)")
     ap.add_argument("--texture-filter", default="nearest",
-                    choices=["nearest", "bilinear"],
+                    choices=["nearest", "bilinear", "trilinear"],
                     help="nearest = reference-exact sampling "
                          "(raycast.cu:224-240); bilinear = smooth "
                          "framework extension")

@@ -36,7 +36,8 @@ class RenderConfig:
     # set light_direction=None to render with point lights alone.
     point_lights: tuple = ()
     # nearest = the reference's exact sampling (raycast.cu:224-240);
-    # bilinear = framework extension (4 corner gathers + lerp).
+    # bilinear / trilinear = framework extensions (trilinear = mip-mapped
+    # with screen-derivative LOD on primary rays, bilinear on bounces).
     texture_filter: str = "nearest"
     # Supersampled anti-aliasing factor (framework extension; the
     # reference shoots exactly one ray per pixel, raycast.cu:147-152).

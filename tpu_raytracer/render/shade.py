@@ -100,6 +100,66 @@ def _sample_texture_vals(scene, start, w, h, uv, tex_filter="nearest"):
     return _fetch_texel(scene, idx) * jnp.float32(0.0039215)
 
 
+def uv_screen_derivatives(attrs: HitAttributes) -> tuple:
+    """Per-pixel UV screen derivatives for mip LOD selection — valid
+    only for image-shaped shading ([H, W] attrs). Forward differences
+    via roll; where the +1 neighbour is a different surface (other
+    material or a miss) fall back to the backward difference, else 0
+    (lod clamps to the sharpest level, the standard conservative
+    choice)."""
+    uv = attrs.uv
+    same = lambda a, sh, ax: jnp.roll(a, sh, axis=ax)
+    valid_with = lambda sh, ax: (
+        attrs.hit & same(attrs.hit, sh, ax)
+        & (attrs.material == same(attrs.material, sh, ax))
+        & (attrs.inst == same(attrs.inst, sh, ax))
+    )
+
+    def axis_diff(ax):
+        fwd = same(uv, -1, ax) - uv
+        bwd = uv - same(uv, 1, ax)
+        okf = valid_with(-1, ax)[..., None]
+        okb = valid_with(1, ax)[..., None]
+        return jnp.where(okf, fwd, jnp.where(okb, bwd, 0.0))
+
+    return axis_diff(1), axis_diff(0)  # (d/dx, d/dy)
+
+
+def _sample_texture_trilinear(scene, mat, uv, duv_dx, duv_dy) -> jax.Array:
+    """Mip-mapped trilinear sample: LOD from the max texel-space
+    footprint of the screen derivatives, bilinear taps on the two
+    bracketing mip levels, lerp. Levels live in the same packed atlas
+    (scene.mat_tex_mip_start)."""
+    w = scene.mat_tex_w[mat]
+    h = scene.mat_tex_h[mat]
+    wh = jnp.stack([w, h], -1).astype(jnp.float32)
+    fx = duv_dx * wh
+    fy = duv_dy * wh
+    rho2 = jnp.maximum(
+        jnp.sum(fx * fx, -1), jnp.sum(fy * fy, -1)
+    )
+    n_levels = scene.mat_tex_mip_start.shape[1]
+    lod = jnp.clip(
+        0.5 * jnp.log2(jnp.maximum(rho2, 1e-12)), 0.0,
+        jnp.float32(n_levels - 1),
+    )
+    l0 = lod.astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, n_levels - 1)
+    frac = (lod - l0.astype(jnp.float32))[..., None]
+
+    flat_starts = scene.mat_tex_mip_start.reshape(-1)
+
+    def level_tap(lev):
+        start = flat_starts[mat * n_levels + lev]
+        wl = jnp.maximum(jax.lax.shift_right_logical(w, lev), 1)
+        hl = jnp.maximum(jax.lax.shift_right_logical(h, lev), 1)
+        return _sample_texture_bilinear(scene, start, wl, hl, uv)
+
+    c0 = level_tap(l0)
+    c1 = level_tap(l1)
+    return c0 + (c1 - c0) * frac
+
+
 def _sample_texture_bilinear(scene, start, w, h, uv) -> jax.Array:
     """Bilinear filter over the packed atlas: 4 corner gathers + lerp.
     Texel centers sit at (i + 0.5) / w (the GL convention), v flipped
@@ -129,14 +189,22 @@ def _sample_texture_bilinear(scene, start, w, h, uv) -> jax.Array:
 
 
 def surface_color(
-    scene: SceneArrays, attrs: HitAttributes, tex_filter: str = "nearest"
+    scene: SceneArrays,
+    attrs: HitAttributes,
+    tex_filter: str = "nearest",
+    uv_ddx=None,
+    uv_ddy=None,
 ) -> jax.Array:
     """Texture sample where textured, else albedo (raycast.cu:224-245).
     Multiplied against the ray color (init (1,1,1), Ray.hpp:21).
     Two packed gathers instead of four: one [K, 3] f32 albedo gather and
     one [K, 3] i32 gather for (tex_start, w, h) — the integer fields
     stay i32 end-to-end, so atlas offsets past 2^24 texels (a single
-    4096x4096 texture is 16.78M) never round through f32."""
+    4096x4096 texture is 16.78M) never round through f32.
+
+    ``trilinear`` needs screen-space UV derivatives (``uv_ddx/ddy``,
+    see uv_screen_derivatives); without them it degrades to bilinear
+    (secondary/bounce rays have no screen footprint)."""
     alb = scene.mat_albedo[attrs.material]
     ipack = jnp.stack(
         [scene.mat_tex_start, scene.mat_tex_w, scene.mat_tex_h], axis=1
@@ -145,8 +213,17 @@ def surface_color(
     start = mi[..., 0]
     w = mi[..., 1]
     h = mi[..., 2]
-    tex = _sample_texture_vals(scene, start, w, h, attrs.uv,
-                               tex_filter=tex_filter)
+    if tex_filter == "trilinear":
+        if uv_ddx is not None:
+            tex = _sample_texture_trilinear(
+                scene, attrs.material, attrs.uv, uv_ddx, uv_ddy
+            )
+        else:
+            tex = _sample_texture_vals(scene, start, w, h, attrs.uv,
+                                       tex_filter="bilinear")
+    else:
+        tex = _sample_texture_vals(scene, start, w, h, attrs.uv,
+                                   tex_filter=tex_filter)
     return jnp.where((start >= 0)[..., None], tex, alb)
 
 
@@ -244,7 +321,11 @@ def shade_primary(
 ) -> jax.Array:
     """Full primary-hit shade -> uint8 image in the reference's channel
     order. Misses get the sky color (raycast.cu:208-216)."""
-    color = surface_color(scene, attrs, tex_filter=tex_filter)
+    ddx = ddy = None
+    if tex_filter == "trilinear" and attrs.uv.ndim == 3:
+        ddx, ddy = uv_screen_derivatives(attrs)
+    color = surface_color(scene, attrs, tex_filter=tex_filter,
+                          uv_ddx=ddx, uv_ddy=ddy)
     illum = compute_illumination(
         scene, attrs, light_direction, mode, exact=exact, backend=backend,
         directions=directions, point_lights=point_lights,

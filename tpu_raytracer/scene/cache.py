@@ -25,7 +25,7 @@ DEFAULT_CACHE_DIR = os.environ.get(
 
 # Bump when SceneArrays' field set or compile semantics change, so old
 # cache entries never alias a new-format scene.
-_FORMAT_VERSION = b"scenearrays-v5-packedtex"
+_FORMAT_VERSION = b"scenearrays-v6-mips"
 
 
 def scene_fingerprint(scene: Scene) -> str:

@@ -33,6 +33,23 @@ from .material import Material
 from .mesh import MeshPrimitive
 
 
+def _mip_downsample(level: np.ndarray) -> np.ndarray:
+    """One mip level down: 2x2 box filter with edge-clamp padding for
+    odd dims; next dims = (max(h//2, 1), max(w//2, 1)) — repeated floor
+    halving, so level l dims are (max(h >> l, 1), max(w >> l, 1))."""
+    h, w, _ = level.shape
+    nh, nw = max(h // 2, 1), max(w // 2, 1)
+    # crop to the 2*nh x 2*nw region (floor semantics), then pad if a
+    # dim was already 1
+    src = level[: 2 * nh if h > 1 else 1, : 2 * nw if w > 1 else 1]
+    if h == 1:
+        src = np.repeat(src, 2, axis=0)
+    if w == 1:
+        src = np.repeat(src, 2, axis=1)
+    f = src.astype(np.float32).reshape(nh, 2, nw, 2, 3).mean(axis=(1, 3))
+    return np.round(f).astype(np.uint8)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class SceneArrays:
@@ -75,6 +92,13 @@ class SceneArrays:
     mat_tex_h: jax.Array  # [K] i32
     # Texture atlas
     tex_atlas: jax.Array  # [P] i32, one packed r|g<<8|b<<16 texel each
+    # Mip chains (framework extension; the reference samples level 0
+    # nearest-neighbor only, raycast.cu:224-240): level l of material k
+    # starts at mat_tex_mip_start[k, l] with dims
+    # (max(h >> l, 1), max(w >> l, 1)); levels past a material's chain
+    # repeat its last (1x1) start so any lod clamp stays valid. -1 rows
+    # for untextured materials. Used by texture_filter="trilinear".
+    mat_tex_mip_start: jax.Array  # [K, L] i32
     # HBM-paging tables (kernels/paged.py PagedTables) for beyond-VMEM
     # scenes, attached by Scene.compile / ensure_paged. Riding inside
     # the scene pytree lets the paged tables cross every jit boundary
@@ -136,7 +160,10 @@ class SceneArrays:
     @classmethod
     def load(cls, fp: str) -> "SceneArrays":
         with np.load(fp) as data:
-            return cls(**{k: jnp.asarray(data[k]) for k in data.files})
+            kw = {k: jnp.asarray(data[k]) for k in data.files}
+        if "mat_tex_mip_start" not in kw:  # pre-mip save files
+            kw["mat_tex_mip_start"] = kw["mat_tex_start"][:, None]
+        return cls(**kw)
 
     def with_paging(self) -> "SceneArrays":
         """Attach the HBM-paging tables (idempotent eager host work —
@@ -355,22 +382,39 @@ class Scene:
         # --- instances ---
         inv = [inst.build_inv() for inst in self.mesh_instances]
 
-        # --- materials + texture atlas ---
+        # --- materials + texture atlas (with mip chains) ---
         atlas_parts = []
         tex_start, tex_w, tex_h = [], [], []
+        mip_chains = []  # per-material list of level starts
         p = 0
         for m in self.materials:
             if m.texture is not None:
                 h, w, _ = m.texture.shape
-                atlas_parts.append(m.texture.reshape(-1, 3))
-                tex_start.append(p)
+                chain = []
+                level = m.texture
+                while True:
+                    chain.append(p)
+                    atlas_parts.append(level.reshape(-1, 3))
+                    p += level.shape[0] * level.shape[1]
+                    if level.shape[0] <= 1 and level.shape[1] <= 1:
+                        break
+                    level = _mip_downsample(level)
+                tex_start.append(chain[0])
                 tex_w.append(w)
                 tex_h.append(h)
-                p += h * w
+                mip_chains.append(chain)
             else:
                 tex_start.append(-1)
                 tex_w.append(0)
                 tex_h.append(0)
+                mip_chains.append([-1])
+        max_mips = max(len(c) for c in mip_chains) if mip_chains else 1
+        mip_start = np.full((len(self.materials), max_mips), -1, np.int32)
+        for k, chain in enumerate(mip_chains):
+            if chain[0] >= 0:
+                # repeat the last (1x1) level so any lod clamp is valid
+                padded = chain + [chain[-1]] * (max_mips - len(chain))
+                mip_start[k] = padded
         atlas_u8 = (
             np.concatenate(atlas_parts, axis=0)
             if atlas_parts
@@ -424,6 +468,7 @@ class Scene:
             mat_tex_w=i32(tex_w),
             mat_tex_h=i32(tex_h),
             tex_atlas=jnp.asarray(atlas, jnp.int32),
+            mat_tex_mip_start=i32(mip_start),
         )
         # Beyond-VMEM scenes get their HBM-paging tables attached at
         # compile time, so EVERY render mode routes to the paged packet
