@@ -67,6 +67,7 @@ def run(
     texture_filter: str = "nearest",
     ssaa: int = 1,
     aovs: tuple = (),
+    sky: str = "flat",
 ):
     """The render loop (kernel.cu:266-296): N timed frames, FPS printed
     per frame, final frame saved with the FPS overlay.
@@ -81,6 +82,8 @@ def run(
 
     if scene_name == "demo":
         scene = build_demo_scene()
+        if sky == "gradient":
+            scene.set_sky(procgen.sky_gradient_texture())
         arrays = scene.compile()
         # Real fisheye calibration from the reference (kernel.cu:158-164)
         D = np.array(
@@ -222,6 +225,10 @@ def main():
              "repeatable (raycast.cu:286-287 realized)")
     ap.add_argument("--no-sun", action="store_true",
                     help="drop the directional light (point lights only)")
+    ap.add_argument("--sky", default="flat", choices=["flat", "gradient"],
+                    help="miss-ray sky: flat = the reference constant "
+                         "(raycast.cu:211-213); gradient = procedural "
+                         "equirect environment map (demo scene only)")
     ap.add_argument("--aov", action="append", default=[],
                     choices=["depth", "normal", "uv", "instance",
                              "triangle", "hit"],
@@ -247,7 +254,7 @@ def main():
         lighting=args.lighting, scene_name=args.scene, mode=args.mode,
         fly=args.fly, point_lights=plights, no_sun=args.no_sun,
         texture_filter=args.texture_filter, ssaa=args.ssaa,
-        aovs=tuple(args.aov),
+        aovs=tuple(args.aov), sky=args.sky,
     )
 
 

@@ -27,7 +27,9 @@ import jax.numpy as jnp
 from ..core.vecmath import FLT_MAX, dot, normalize
 from ..scene.scene import SceneArrays
 from .renderer import get_cast_fn, hit_attributes, occlusion_cast_fn
-from .shade import DEFAULT_LIGHT_DIRECTION, SHADOW_EPS, surface_color
+from .shade import (
+    DEFAULT_LIGHT_DIRECTION, SHADOW_EPS, sky_radiance, surface_color,
+)
 from .sorted_cast import secondary_cast_fn as _secondary_cast_fn
 
 SKY_F32 = (1.0, 0.8, 0.6)  # raycast.cu:211-213 before the *255
@@ -130,7 +132,6 @@ def render_whitted(
     radiance = jnp.zeros(shape + (3,), jnp.float32)
     throughput = jnp.ones(shape + (3,), jnp.float32)  # Ray.color (Ray.hpp:21)
     active = jnp.ones(shape, bool)
-    sky = jnp.asarray(SKY_F32, jnp.float32)
 
     unscatter = None  # set when retiling kicks in after bounce 0
     o, d = origin, directions
@@ -171,6 +172,7 @@ def render_whitted(
             attrs = type(attrs)(*(perm(x) for x in attrs))
 
         miss = active & ~attrs.hit
+        sky = sky_radiance(scene, d, exact=exact)
         radiance = radiance + jnp.where(miss[..., None], throughput * sky, 0.0)
 
         live = active & attrs.hit
@@ -256,11 +258,10 @@ def render_path_traced(
     directions = jnp.asarray(directions, jnp.float32)
     origin = jnp.broadcast_to(jnp.asarray(origin, jnp.float32), directions.shape)
     shape = directions.shape[:-1]
-    sky = jnp.asarray(SKY_F32, jnp.float32) * sky_strength
-
     def bounce_from_attrs(state, attrs, key_b):
         o, d, throughput, radiance, active = state
         miss = active & ~attrs.hit
+        sky = sky_radiance(scene, d, exact=exact) * sky_strength
         radiance = radiance + jnp.where(miss[..., None], throughput * sky, 0.0)
         live = active & attrs.hit
         color = surface_color(scene, attrs, tex_filter=tex_filter)

@@ -17,6 +17,8 @@ Exact reference semantics preserved for the parity path:
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -188,6 +190,33 @@ def _sample_texture_bilinear(scene, start, w, h, uv) -> jax.Array:
     return (top + (bot - top) * fy) * jnp.float32(0.0039215)
 
 
+def sky_radiance(scene: SceneArrays, directions, exact: bool = True):
+    """Per-ray sky radiance [..., 3] f32 in [0, 1]: the equirect
+    environment map (scene.set_sky) sampled by direction when present,
+    else the reference's flat constant (raycast.cu:211-213). World is
+    y-forward / z-up (raycast.cu:181-182): u = yaw about z from +y,
+    v = 0 at the zenith."""
+    flat = jnp.broadcast_to(
+        jnp.asarray(SKY_COLOR, jnp.float32) / 255.0,
+        directions.shape[:-1] + (3,),
+    )
+    d = normalize(jnp.asarray(directions, jnp.float32), exact=exact)
+    u = jnp.arctan2(d[..., 0], d[..., 1]) * jnp.float32(
+        1.0 / (2.0 * math.pi)
+    ) + 0.5
+    v = 1.0 - (
+        0.5 - jnp.arcsin(jnp.clip(d[..., 2], -1.0, 1.0)) / jnp.float32(math.pi)
+    )  # pre-flip: _sample_texture_bilinear flips v again
+    h = jnp.maximum(scene.sky_tex_h, 1)
+    v = jnp.clip(v, 0.5 / h.astype(jnp.float32),
+                 1.0 - 0.5 / h.astype(jnp.float32))  # no pole wrap
+    tex = _sample_texture_bilinear(
+        scene, scene.sky_tex_start, scene.sky_tex_w, scene.sky_tex_h,
+        jnp.stack([u, v], -1),
+    )
+    return jnp.where(scene.sky_tex_start >= 0, tex, flat)
+
+
 def surface_color(
     scene: SceneArrays,
     attrs: HitAttributes,
@@ -333,4 +362,10 @@ def shade_primary(
     rgb = illum[..., None] * color * jnp.float32(255.0)
     shaded = rgb.astype(jnp.uint8)  # C-cast truncation (raycast.cu:292-294)
     sky = jnp.asarray(SKY_COLOR, jnp.uint8)
+    if directions is not None:
+        # environment-map sky on miss rays (scene.set_sky); the where
+        # keeps the skyless path at the EXACT reference constant
+        tex = (sky_radiance(scene, directions, exact=exact)
+               * jnp.float32(255.0)).astype(jnp.uint8)
+        sky = jnp.where(scene.sky_tex_start >= 0, tex, sky)
     return jnp.where(attrs.hit[..., None], shaded, sky)

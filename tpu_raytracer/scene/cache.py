@@ -25,7 +25,7 @@ DEFAULT_CACHE_DIR = os.environ.get(
 
 # Bump when SceneArrays' field set or compile semantics change, so old
 # cache entries never alias a new-format scene.
-_FORMAT_VERSION = b"scenearrays-v6-mips"
+_FORMAT_VERSION = b"scenearrays-v7-sky"
 
 
 def scene_fingerprint(scene: Scene) -> str:
@@ -54,6 +54,9 @@ def scene_fingerprint(scene: Scene) -> str:
              m.reflectivity], np.float32).tobytes())
         if m.texture is not None:
             h.update(np.ascontiguousarray(m.texture).tobytes())
+    if scene.sky_texture is not None:
+        h.update(b"sky")
+        h.update(np.ascontiguousarray(scene.sky_texture).tobytes())
     return h.hexdigest()[:24]
 
 

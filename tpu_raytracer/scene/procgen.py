@@ -228,3 +228,16 @@ def gradient_texture(w: int = 128, h: int = 128) -> np.ndarray:
     g = (255 * yy / max(h - 1, 1)).astype(np.uint8)
     b = np.full_like(r, 128)
     return np.stack([b, g, r], axis=-1)  # BGR channel order like cv2
+
+
+def sky_gradient_texture(w: int = 256, h: int = 128) -> np.ndarray:
+    """Equirect sky: warm horizon band fading to a deep zenith blue —
+    a procedural stand-in for an HDRI environment map (Scene.set_sky)."""
+    v = np.linspace(0.0, 1.0, h, dtype=np.float32)[:, None]  # 0 = zenith
+    zen = np.array([230, 140, 60], np.float32)   # engine channel order
+    hor = np.array([120, 200, 250], np.float32)
+    band = np.clip((v - 0.35) / 0.3, 0.0, 1.0)
+    row = zen * (1.0 - band) + hor * band
+    ground = np.array([60, 70, 80], np.float32)
+    row = np.where(v > 0.55, ground, row)
+    return np.broadcast_to(row[:, None, :], (h, w, 3)).astype(np.uint8)

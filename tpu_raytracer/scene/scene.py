@@ -99,6 +99,13 @@ class SceneArrays:
     # repeat its last (1x1) start so any lod clamp stays valid. -1 rows
     # for untextured materials. Used by texture_filter="trilinear".
     mat_tex_mip_start: jax.Array  # [K, L] i32
+    # Environment-map sky (framework extension; the reference's miss
+    # color is the flat constant raycast.cu:211-213): an equirect
+    # texture in the same atlas, sampled by miss-ray direction.
+    # start = -1 -> no sky map, use the flat constant.
+    sky_tex_start: jax.Array  # [] i32
+    sky_tex_w: jax.Array  # [] i32
+    sky_tex_h: jax.Array  # [] i32
     # HBM-paging tables (kernels/paged.py PagedTables) for beyond-VMEM
     # scenes, attached by Scene.compile / ensure_paged. Riding inside
     # the scene pytree lets the paged tables cross every jit boundary
@@ -163,6 +170,10 @@ class SceneArrays:
             kw = {k: jnp.asarray(data[k]) for k in data.files}
         if "mat_tex_mip_start" not in kw:  # pre-mip save files
             kw["mat_tex_mip_start"] = kw["mat_tex_start"][:, None]
+        if "sky_tex_start" not in kw:  # pre-sky save files
+            kw["sky_tex_start"] = jnp.int32(-1)
+            kw["sky_tex_w"] = jnp.int32(0)
+            kw["sky_tex_h"] = jnp.int32(0)
         return cls(**kw)
 
     def with_paging(self) -> "SceneArrays":
@@ -208,6 +219,19 @@ class Scene:
         self.materials: list[Material] = []
         self.meshes: list[MeshPrimitive] = []
         self.mesh_instances: list[MeshInstance] = []
+        self.sky_texture: np.ndarray | None = None
+
+    def set_sky(self, texture: np.ndarray) -> None:
+        """Attach an equirectangular environment map sampled by miss-ray
+        direction (framework extension; the reference's sky is the flat
+        constant raycast.cu:211-213). [H, W, 3] uint8, same channel
+        order as material textures."""
+        texture = np.asarray(texture, np.uint8)
+        if texture.ndim != 3 or texture.shape[2] != 3:
+            raise ValueError(
+                f"sky must be [H, W, 3] uint8, got {texture.shape}"
+            )
+        self.sky_texture = texture
 
     def add_material(self, material: Material) -> int:
         self.materials.append(material)
@@ -408,6 +432,14 @@ class Scene:
                 tex_w.append(0)
                 tex_h.append(0)
                 mip_chains.append([-1])
+        # environment sky map: one (unmipped) level at the atlas tail
+        if self.sky_texture is not None:
+            sh, sw, _ = self.sky_texture.shape
+            sky_start, sky_w, sky_h = p, sw, sh
+            atlas_parts.append(self.sky_texture.reshape(-1, 3))
+            p += sh * sw
+        else:
+            sky_start, sky_w, sky_h = -1, 0, 0
         max_mips = max(len(c) for c in mip_chains) if mip_chains else 1
         mip_start = np.full((len(self.materials), max_mips), -1, np.int32)
         for k, chain in enumerate(mip_chains):
@@ -469,6 +501,9 @@ class Scene:
             mat_tex_h=i32(tex_h),
             tex_atlas=jnp.asarray(atlas, jnp.int32),
             mat_tex_mip_start=i32(mip_start),
+            sky_tex_start=i32(sky_start),
+            sky_tex_w=i32(sky_w),
+            sky_tex_h=i32(sky_h),
         )
         # Beyond-VMEM scenes get their HBM-paging tables attached at
         # compile time, so EVERY render mode routes to the paged packet
