@@ -68,6 +68,8 @@ def run(
     ssaa: int = 1,
     aovs: tuple = (),
     sky: str = "flat",
+    lens_radius: float = 0.0,
+    focus_distance: float = 4.0,
 ):
     """The render loop (kernel.cu:266-296): N timed frames, FPS printed
     per frame, final frame saved with the FPS overlay.
@@ -153,7 +155,8 @@ def run(
             img = render_image_whitted(*args)
         elif mode == "path":
             key, sub = jax.random.split(key)
-            img = render_image_path_traced(*args, sub)
+            img = render_image_path_traced(
+                *args, sub, 3, 4, lens_radius, focus_distance)
         else:
             raise ValueError(f"unknown mode {mode}")
         jax.block_until_ready(img)
@@ -225,6 +228,11 @@ def main():
              "repeatable (raycast.cu:286-287 realized)")
     ap.add_argument("--no-sun", action="store_true",
                     help="drop the directional light (point lights only)")
+    ap.add_argument("--lens-radius", type=float, default=0.0,
+                    help="thin-lens aperture radius for --mode path "
+                         "(0 = pinhole); blurs off-focal-plane surfaces")
+    ap.add_argument("--focus-distance", type=float, default=4.0,
+                    help="focal-plane distance for --lens-radius")
     ap.add_argument("--sky", default="flat", choices=["flat", "gradient"],
                     help="miss-ray sky: flat = the reference constant "
                          "(raycast.cu:211-213); gradient = procedural "
@@ -255,6 +263,7 @@ def main():
         fly=args.fly, point_lights=plights, no_sun=args.no_sun,
         texture_filter=args.texture_filter, ssaa=args.ssaa,
         aovs=tuple(args.aov), sky=args.sky,
+        lens_radius=args.lens_radius, focus_distance=args.focus_distance,
     )
 
 

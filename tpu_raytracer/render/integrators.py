@@ -23,6 +23,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.vecmath import FLT_MAX, dot, normalize
 from ..scene.scene import SceneArrays
@@ -238,9 +239,18 @@ def render_path_traced(
     exact: bool = True,
     sort_secondary: bool = True,
     tex_filter: str = "nearest",
+    lens_radius: float = 0.0,
+    focus_distance: float = 4.0,
 ) -> jax.Array:
     """Monte-Carlo path tracing (the stochastic bounce design the
     reference's curand setup anticipated, raycast.cu:190-193).
+
+    ``lens_radius > 0`` enables thin-lens depth of field: per sample,
+    primary origins jitter on a lens disk (perpendicular to the mean
+    view axis) and re-aim at the focal point at ``focus_distance``
+    along each ray — surfaces off the focal plane blur. With a zero
+    radius the primary cast is sample-independent and stays hoisted
+    out of the sample scan.
 
     Lambertian BRDF with cosine-weighted sampling, emissive materials
     via mat_illumination, sky as the ambient environment. The bounce
@@ -279,25 +289,56 @@ def render_path_traced(
         )
         return (o_next, d_next, throughput, radiance, live)
 
-    # The primary cast is sample-INDEPENDENT: hoist it out of the
-    # sample scan so S samples x (B+1) casts become S*B + 1 casts
-    # (the reference's per-pixel curand design re-traces primaries per
-    # sample; raycast.cu:190-204).
-    attrs0 = hit_attributes(
-        scene, origin, directions, cast(scene, origin, directions),
-        exact=exact,
-    )
+    # The primary cast is sample-INDEPENDENT (unless a lens makes it
+    # stochastic): hoist it out of the sample scan so S samples x (B+1)
+    # casts become S*B + 1 casts (the reference's per-pixel curand
+    # design re-traces primaries per sample; raycast.cu:190-204).
+    dof = lens_radius > 0.0
+    if not dof:
+        attrs0 = hit_attributes(
+            scene, origin, directions, cast(scene, origin, directions),
+            exact=exact,
+        )
+    else:
+        # lens basis perpendicular to the mean view axis
+        axis = normalize(
+            jnp.mean(directions.reshape(-1, 3), axis=0), exact=exact
+        )
+        ref = jnp.where(jnp.abs(axis[2]) < 0.9,
+                        jnp.array([0.0, 0.0, 1.0], jnp.float32),
+                        jnp.array([1.0, 0.0, 0.0], jnp.float32))
+        right = normalize(jnp.cross(axis, ref), exact=exact)
+        up = jnp.cross(right, axis)
 
     def one_sample(carry, key):
-        keys = jax.random.split(key, max_bounces + 1)
+        keys = jax.random.split(key, max_bounces + 2)
+        o0, d0 = origin, directions
+        if dof:
+            r = jnp.sqrt(jax.random.uniform(keys[-1], shape)) * lens_radius
+            # independent angle stream folded from the same key
+            phi = jax.random.uniform(
+                jax.random.fold_in(keys[-1], 1), shape,
+                minval=0.0, maxval=2.0 * np.pi,
+            )
+            off = (r * jnp.cos(phi))[..., None] * right \
+                + (r * jnp.sin(phi))[..., None] * up
+            focal = origin + directions * focus_distance
+            o0 = jnp.broadcast_to(origin, directions.shape) + off
+            d0 = normalize(focal - o0, exact=exact)
         state = (
-            origin,
-            directions,
+            o0,
+            d0,
             jnp.ones(shape + (3,), jnp.float32),
             jnp.zeros(shape + (3,), jnp.float32),
             jnp.ones(shape, bool),
         )
-        state = bounce_from_attrs(state, attrs0, keys[0])
+        if dof:
+            a0 = hit_attributes(
+                scene, o0, d0, cast(scene, o0, d0), exact=exact
+            )
+        else:
+            a0 = attrs0
+        state = bounce_from_attrs(state, a0, keys[0])
         for b in range(1, max_bounces + 1):
             o, d = state[0], state[1]
             hit = cast2(scene, o, d)

@@ -196,7 +196,7 @@ def render_image_whitted(
     return _with_ssaa(config, K_inv, body)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 7, 8))
+@functools.partial(jax.jit, static_argnums=(0, 7, 8, 9, 10))
 def render_image_path_traced(
     config: RenderConfig,
     scene: SceneArrays,
@@ -207,8 +207,11 @@ def render_image_path_traced(
     key: jax.Array,
     max_bounces: int = 3,
     samples: int = 4,
+    lens_radius: float = 0.0,
+    focus_distance: float = 4.0,
 ) -> jax.Array:
-    """Monte-Carlo path-traced render -> uint8 (BASELINE config 5)."""
+    """Monte-Carlo path-traced render -> uint8 (BASELINE config 5).
+    ``lens_radius > 0`` adds thin-lens depth of field."""
     from .integrators import render_path_traced, to_u8
 
     def body(cfg, K_inv_b):
@@ -220,6 +223,7 @@ def render_image_path_traced(
             scene, origin, directions, key,
             max_bounces=max_bounces, samples=samples, backend=cfg.backend,
             exact=cfg.exact_math, tex_filter=cfg.texture_filter,
+            lens_radius=lens_radius, focus_distance=focus_distance,
         )
         return to_u8(radiance)
 
