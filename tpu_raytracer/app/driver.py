@@ -70,6 +70,7 @@ def run(
     sky: str = "flat",
     lens_radius: float = 0.0,
     focus_distance: float = 4.0,
+    path_lights: bool = False,
 ):
     """The render loop (kernel.cu:266-296): N timed frames, FPS printed
     per frame, final frame saved with the FPS overlay.
@@ -128,7 +129,7 @@ def run(
         width=width, height=height, backend=backend, lighting=lighting,
         light_direction=None if no_sun else DEFAULT_LIGHT_DIRECTION,
         point_lights=plights, texture_filter=texture_filter,
-        ssaa=ssaa,
+        ssaa=ssaa, path_lights=path_lights,
     )
     key = jax.random.PRNGKey(0)
     fps = 0.0
@@ -228,6 +229,11 @@ def main():
              "repeatable (raycast.cu:286-287 realized)")
     ap.add_argument("--no-sun", action="store_true",
                     help="drop the directional light (point lights only)")
+    ap.add_argument("--path-lights", action="store_true",
+                    help="--mode path: next-event estimation — sample "
+                         "the sun/point lights directly per bounce "
+                         "with shadow casts (converges in far fewer "
+                         "samples than sky-only bounce lighting)")
     ap.add_argument("--lens-radius", type=float, default=0.0,
                     help="thin-lens aperture radius for --mode path "
                          "(0 = pinhole); blurs off-focal-plane surfaces")
@@ -264,6 +270,7 @@ def main():
         texture_filter=args.texture_filter, ssaa=args.ssaa,
         aovs=tuple(args.aov), sky=args.sky,
         lens_radius=args.lens_radius, focus_distance=args.focus_distance,
+        path_lights=args.path_lights,
     )
 
 

@@ -56,13 +56,16 @@ from .sorted_cast import park_dead_rays as _park
 
 def _direct_illumination(
     scene, cast, attrs, light_direction, point_lights, exact, shadows,
-    occ_cast=None,
+    occ_cast=None, shadow_floor=0.4,
 ):
     """Directional + point-light contribution at the hit points, with
     hard shadow rays (the disabled reference path, raycast.cu:263-287).
     ``occ_cast``: ANY-HIT cast for the boolean directional shadow
     (renderer.occlusion_cast_fn); point lights keep the nearest-hit
-    ``cast`` (their query is distance-bounded)."""
+    ``cast`` (their query is distance-bounded). ``shadow_floor``: the
+    occluded directional term keeps floor*cos_i — 0.4 is the
+    reference's ambient clamp look (raycast.cu:289-290); the path
+    tracer passes 0.0 (true shadows; ambient comes from the sky)."""
     illum = jnp.zeros(attrs.t.shape, jnp.float32)
     if light_direction is not None:
         ldir = normalize(jnp.asarray(light_direction, jnp.float32), exact=exact)
@@ -77,7 +80,7 @@ def _direct_illumination(
                 ),
             )
             lit = occ.t >= FLT_MAX
-            cos_i = jnp.where(lit, cos_i, 0.4 * cos_i)
+            cos_i = jnp.where(lit, cos_i, shadow_floor * cos_i)
         illum = illum + cos_i
     if point_lights:
         from .shade import point_light_illumination
@@ -241,9 +244,30 @@ def render_path_traced(
     tex_filter: str = "nearest",
     lens_radius: float = 0.0,
     focus_distance: float = 4.0,
+    light_direction=None,
+    point_lights: tuple = (),
+    sun_intensity: float = 1.0,
 ) -> jax.Array:
     """Monte-Carlo path tracing (the stochastic bounce design the
     reference's curand setup anticipated, raycast.cu:190-193).
+
+    ``light_direction`` / ``point_lights`` enable NEXT-EVENT
+    ESTIMATION: at every bounce the diffuse lobe adds the delta
+    lights' direct contribution through an explicit shadow cast
+    (cos_i * vis * intensity * albedo/pi), which converges in a
+    fraction of the samples that waiting for bounce rays to luck into
+    lighting needs. Delta lights are invisible to BSDF samples (a
+    continuous lobe hits a delta direction with probability zero), so
+    there is no double counting against the sky. Defaults keep the
+    sky-ambient-only behavior (and its cost) unchanged.
+
+    Materials follow the reference's stored-but-unused PBR fields
+    (Material.hpp:8-10): with probability ``mat_reflectivity`` a
+    sample continues in the SPECULAR lobe — the mirror direction
+    blended toward a cosine sample by ``mat_roughness`` (0 = perfect
+    mirror, 1 = diffuse-wide gloss) — otherwise in the cosine-diffuse
+    lobe. Lobe choice by its own weight keeps throughput = albedo
+    for both (the discrete-choice pdf cancels the lobe weight).
 
     ``lens_radius > 0`` enables thin-lens depth of field: per sample,
     primary origins jitter on a lens disk (perpendicular to the mean
@@ -265,9 +289,13 @@ def render_path_traced(
     """
     cast = get_cast_fn(backend)
     cast2 = _secondary_cast_fn(cast, backend, sort_secondary)
+    occ_cast = occlusion_cast_fn(backend)
+    nee = light_direction is not None or bool(point_lights)
     directions = jnp.asarray(directions, jnp.float32)
     origin = jnp.broadcast_to(jnp.asarray(origin, jnp.float32), directions.shape)
     shape = directions.shape[:-1]
+    inv_pi = 1.0 / np.pi
+
     def bounce_from_attrs(state, attrs, key_b):
         o, d, throughput, radiance, active = state
         miss = active & ~attrs.hit
@@ -280,7 +308,35 @@ def render_path_traced(
             live[..., None], throughput * emit[..., None], 0.0
         )
         throughput = throughput * jnp.where(live[..., None], color, 1.0)
-        d_new = _cosine_sample(key_b, attrs.normal, exact)
+        refl = scene.mat_reflectivity[attrs.material]
+        if nee:
+            # direct delta-light term on the diffuse part of the lobe
+            # mix: T * (1-refl) * albedo/pi * cos_i * vis * intensity
+            # (albedo is already folded into throughput above)
+            illum = _direct_illumination(
+                scene, cast, attrs, light_direction, point_lights,
+                exact, shadows=True, occ_cast=occ_cast, shadow_floor=0.0,
+            )
+            w = (1.0 - refl) * illum * (inv_pi * sun_intensity)
+            radiance = radiance + jnp.where(
+                live[..., None], throughput * w[..., None], 0.0
+            )
+        d_diff = _cosine_sample(key_b, attrs.normal, exact)
+        # glossy lobe: mirror blended toward the cosine sample by
+        # roughness, flipped back to the diffuse sample if it dips
+        # under the surface. When every reflectivity is 0 the selects
+        # all pick d_diff — identical output, and the extra VPU ops
+        # are noise next to a cast.
+        rough = scene.mat_roughness[attrs.material][..., None]
+        mirror = _reflect(d, attrs.normal)
+        d_spec = normalize(
+            (1.0 - rough) * mirror + rough * d_diff, exact=exact
+        )
+        d_spec = jnp.where(
+            (dot(d_spec, attrs.normal) > 0.0)[..., None], d_spec, d_diff
+        )
+        u = jax.random.uniform(jax.random.fold_in(key_b, 3), shape)
+        d_new = jnp.where((u < refl)[..., None], d_spec, d_diff)
         o_new = attrs.location + d_new * SHADOW_EPS
         o_next, d_next = _park(
             jnp.where(live[..., None], o_new, o),

@@ -44,6 +44,12 @@ class RenderConfig:
     # ssaa=s renders at s*width x s*height with the intrinsics scaled
     # to keep the field of view, then box-averages s x s blocks.
     ssaa: int = 1
+    # Path-tracer next-event estimation: when True, --mode path samples
+    # light_direction + point_lights directly at every bounce (explicit
+    # shadow casts). Off by default — the classic sky-ambient-only path
+    # look, at its recorded cost.
+    path_lights: bool = False
+    sun_intensity: float = 1.0
 
 
 def _with_ssaa(config: RenderConfig, K_inv, body):
@@ -224,6 +230,9 @@ def render_image_path_traced(
             max_bounces=max_bounces, samples=samples, backend=cfg.backend,
             exact=cfg.exact_math, tex_filter=cfg.texture_filter,
             lens_radius=lens_radius, focus_distance=focus_distance,
+            light_direction=cfg.light_direction if cfg.path_lights else None,
+            point_lights=cfg.point_lights if cfg.path_lights else (),
+            sun_intensity=cfg.sun_intensity,
         )
         return to_u8(radiance)
 
