@@ -71,6 +71,8 @@ def run(
     lens_radius: float = 0.0,
     focus_distance: float = 4.0,
     path_lights: bool = False,
+    tonemap: str = "none",
+    exposure: float = 1.0,
 ):
     """The render loop (kernel.cu:266-296): N timed frames, FPS printed
     per frame, final frame saved with the FPS overlay.
@@ -130,6 +132,7 @@ def run(
         light_direction=None if no_sun else DEFAULT_LIGHT_DIRECTION,
         point_lights=plights, texture_filter=texture_filter,
         ssaa=ssaa, path_lights=path_lights,
+        tonemap=tonemap, exposure=exposure,
     )
     key = jax.random.PRNGKey(0)
     fps = 0.0
@@ -229,6 +232,12 @@ def main():
              "repeatable (raycast.cu:286-287 realized)")
     ap.add_argument("--no-sun", action="store_true",
                     help="drop the directional light (point lights only)")
+    ap.add_argument("--tonemap", default="none",
+                    choices=["none", "reinhard", "aces"],
+                    help="HDR display mapping for whitted/path modes "
+                         "(none = the reference's raw truncating cast)")
+    ap.add_argument("--exposure", type=float, default=1.0,
+                    help="linear exposure multiplier ahead of --tonemap")
     ap.add_argument("--path-lights", action="store_true",
                     help="--mode path: next-event estimation — sample "
                          "the sun/point lights directly per bounce "
@@ -271,6 +280,7 @@ def main():
         aovs=tuple(args.aov), sky=args.sky,
         lens_radius=args.lens_radius, focus_distance=args.focus_distance,
         path_lights=args.path_lights,
+        tonemap=args.tonemap, exposure=args.exposure,
     )
 
 

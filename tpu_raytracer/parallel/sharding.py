@@ -93,14 +93,16 @@ def render_image_sharded(
 
 
 def _whitted_body(config: RenderConfig, bounces, scene, origin, directions):
-    from ..render.integrators import render_whitted, to_u8
+    from ..render.integrators import render_whitted, to_u8, tonemap
 
-    return to_u8(render_whitted(
+    radiance = render_whitted(
         scene, origin, directions, max_bounces=bounces,
         backend=config.backend, light_direction=config.light_direction,
         point_lights=config.point_lights, exact=config.exact_math,
         tex_filter=config.texture_filter,
-    ))
+    )
+    # elementwise + shard-local, so sharded output == unsharded output
+    return to_u8(tonemap(radiance, config.tonemap, config.exposure))
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 7))
@@ -143,14 +145,15 @@ def render_image_whitted_sharded(
 
 def _path_body(config: RenderConfig, bounces, samples, scene, origin,
                directions, key):
-    from ..render.integrators import render_path_traced, to_u8
+    from ..render.integrators import render_path_traced, to_u8, tonemap
 
-    return to_u8(render_path_traced(
+    radiance = render_path_traced(
         scene, origin, directions, key[0], max_bounces=bounces,
         samples=samples, backend=config.backend, exact=config.exact_math,
         sort_secondary=False,  # argsort inside shard_map: keep it simple
         tex_filter=config.texture_filter,
-    ))
+    )
+    return to_u8(tonemap(radiance, config.tonemap, config.exposure))
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 8, 9))

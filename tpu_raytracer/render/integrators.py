@@ -415,3 +415,30 @@ def to_u8(radiance: jax.Array) -> jax.Array:
     """Float radiance -> uint8 with the reference's truncating cast
     (raycast.cu:292-294), clamped to the displayable range."""
     return jnp.clip(radiance * 255.0, 0.0, 255.0).astype(jnp.uint8)
+
+
+def tonemap(radiance: jax.Array, mode: str = "none",
+            exposure: float = 1.0) -> jax.Array:
+    """HDR -> display mapping ahead of the uint8 cast (framework
+    extension; the reference writes linear radiance straight to uchar3,
+    raycast.cu:292-294, which clips everything past 1.0).
+
+    ``none``     linear * exposure (exposure=1 is bit-identical to the
+                 historical output);
+    ``reinhard`` x/(1+x) then sRGB-ish 1/2.2 gamma;
+    ``aces``     Narkowicz's ACES filmic fit then 1/2.2 gamma.
+    All elementwise VPU math — XLA fuses it into the shading epilogue.
+    """
+    x = radiance * exposure
+    if mode == "none":
+        return x
+    if mode == "reinhard":
+        y = x / (1.0 + x)
+    elif mode == "aces":
+        y = jnp.clip(
+            (x * (2.51 * x + 0.03)) / (x * (2.43 * x + 0.59) + 0.14),
+            0.0, 1.0,
+        )
+    else:
+        raise ValueError(f"unknown tonemap mode {mode!r}")
+    return jnp.power(jnp.maximum(y, 0.0), 1.0 / 2.2)

@@ -50,6 +50,11 @@ class RenderConfig:
     # look, at its recorded cost.
     path_lights: bool = False
     sun_intensity: float = 1.0
+    # HDR -> display mapping for the whitted/path integrators (the
+    # primary pass stays the reference's raw truncating cast):
+    # none | reinhard | aces (integrators.tonemap).
+    tonemap: str = "none"
+    exposure: float = 1.0
 
 
 def _with_ssaa(config: RenderConfig, K_inv, body):
@@ -183,7 +188,7 @@ def render_image_whitted(
     shadows: bool = True,
 ) -> jax.Array:
     """Whitted reflective render -> uint8 [H, W, 3] (BASELINE config 4)."""
-    from .integrators import render_whitted, to_u8
+    from .integrators import render_whitted, to_u8, tonemap
 
     def body(cfg, K_inv_b):
         origin, directions = generate_rays(
@@ -197,7 +202,7 @@ def render_image_whitted(
             point_lights=cfg.point_lights, shadows=shadows,
             exact=cfg.exact_math, tex_filter=cfg.texture_filter,
         )
-        return to_u8(radiance)
+        return to_u8(tonemap(radiance, cfg.tonemap, cfg.exposure))
 
     return _with_ssaa(config, K_inv, body)
 
@@ -218,7 +223,7 @@ def render_image_path_traced(
 ) -> jax.Array:
     """Monte-Carlo path-traced render -> uint8 (BASELINE config 5).
     ``lens_radius > 0`` adds thin-lens depth of field."""
-    from .integrators import render_path_traced, to_u8
+    from .integrators import render_path_traced, to_u8, tonemap
 
     def body(cfg, K_inv_b):
         origin, directions = generate_rays(
@@ -234,6 +239,6 @@ def render_image_path_traced(
             point_lights=cfg.point_lights if cfg.path_lights else (),
             sun_intensity=cfg.sun_intensity,
         )
-        return to_u8(radiance)
+        return to_u8(tonemap(radiance, cfg.tonemap, cfg.exposure))
 
     return _with_ssaa(config, K_inv, body)
