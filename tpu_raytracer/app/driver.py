@@ -73,6 +73,7 @@ def run(
     path_lights: bool = False,
     tonemap: str = "none",
     exposure: float = 1.0,
+    denoise: int = 0,
 ):
     """The render loop (kernel.cu:266-296): N timed frames, FPS printed
     per frame, final frame saved with the FPS overlay.
@@ -132,7 +133,7 @@ def run(
         light_direction=None if no_sun else DEFAULT_LIGHT_DIRECTION,
         point_lights=plights, texture_filter=texture_filter,
         ssaa=ssaa, path_lights=path_lights,
-        tonemap=tonemap, exposure=exposure,
+        tonemap=tonemap, exposure=exposure, denoise=denoise,
     )
     key = jax.random.PRNGKey(0)
     fps = 0.0
@@ -238,6 +239,10 @@ def main():
                          "(none = the reference's raw truncating cast)")
     ap.add_argument("--exposure", type=float, default=1.0,
                     help="linear exposure multiplier ahead of --tonemap")
+    ap.add_argument("--denoise", type=int, default=0, metavar="N",
+                    help="--mode path: N à-trous denoiser iterations "
+                         "(edge-avoiding wavelet guided by first-hit "
+                         "normal/depth; ~2^N pixel radius, 0 = off)")
     ap.add_argument("--path-lights", action="store_true",
                     help="--mode path: next-event estimation — sample "
                          "the sun/point lights directly per bounce "
@@ -281,6 +286,7 @@ def main():
         lens_radius=args.lens_radius, focus_distance=args.focus_distance,
         path_lights=args.path_lights,
         tonemap=args.tonemap, exposure=args.exposure,
+        denoise=args.denoise,
     )
 
 

@@ -55,6 +55,10 @@ class RenderConfig:
     # none | reinhard | aces (integrators.tonemap).
     tonemap: str = "none"
     exposure: float = 1.0
+    # À-trous wavelet denoiser iterations for --mode path (0 = off;
+    # effective radius ~2^n pixels). Guided by first-hit normal/depth;
+    # applied in HDR space ahead of tonemap (denoise.atrous_denoise).
+    denoise: int = 0
 
 
 def _with_ssaa(config: RenderConfig, K_inv, body):
@@ -208,6 +212,41 @@ def render_image_whitted(
 
 
 @functools.partial(jax.jit, static_argnums=(0, 7, 8, 9, 10))
+def render_radiance_path_traced(
+    config: RenderConfig,
+    scene: SceneArrays,
+    K_inv: jax.Array,
+    D: jax.Array,
+    pose: jax.Array,
+    inv_pose: jax.Array,
+    key: jax.Array,
+    max_bounces: int = 3,
+    samples: int = 4,
+    lens_radius: float = 0.0,
+    focus_distance: float = 4.0,
+) -> jax.Array:
+    """Path-traced HDR radiance -> f32 [H, W, 3] (no tonemap/u8/ssaa).
+    The accumulation entry point: progressive renderers average these
+    across frames in linear space and tonemap only for display
+    (app/interactive.py path mode)."""
+    from .integrators import render_path_traced
+
+    origin, directions = generate_rays(
+        config.width, config.height, K_inv, D, pose, inv_pose,
+        exact=config.exact_math,
+    )
+    return render_path_traced(
+        scene, origin, directions, key,
+        max_bounces=max_bounces, samples=samples, backend=config.backend,
+        exact=config.exact_math, tex_filter=config.texture_filter,
+        lens_radius=lens_radius, focus_distance=focus_distance,
+        light_direction=config.light_direction if config.path_lights else None,
+        point_lights=config.point_lights if config.path_lights else (),
+        sun_intensity=config.sun_intensity,
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(0, 7, 8, 9, 10))
 def render_image_path_traced(
     config: RenderConfig,
     scene: SceneArrays,
@@ -239,6 +278,21 @@ def render_image_path_traced(
             point_lights=cfg.point_lights if cfg.path_lights else (),
             sun_intensity=cfg.sun_intensity,
         )
+        if cfg.denoise > 0:
+            # one extra primary cast for the normal/depth guides — a
+            # 1/(S*B+1) cost next to the sample loop above
+            from .denoise import atrous_denoise
+
+            hit = get_cast_fn(cfg.backend)(scene, origin, directions)
+            attrs = hit_attributes(
+                scene, origin, directions, hit, exact=cfg.exact_math
+            )
+            radiance = atrous_denoise(
+                radiance,
+                jnp.where(attrs.hit[..., None], attrs.normal, 0.0),
+                jnp.where(attrs.hit, attrs.t, jnp.float32(jnp.inf)),
+                iterations=cfg.denoise,
+            )
         return to_u8(tonemap(radiance, cfg.tonemap, cfg.exposure))
 
     return _with_ssaa(config, K_inv, body)
