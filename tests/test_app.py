@@ -126,6 +126,22 @@ def test_interactive_scripted_loop(tmp_path):
     assert os.path.exists(out)
 
 
+def test_interactive_progressive_path_mode(tmp_path):
+    """Viewer path mode accumulates one sample per frame on a still
+    camera ('z' is unmapped, so the pose never changes and the
+    accumulator never resets) and returns a tonemapped u8 frame."""
+    from tpu_raytracer.app import interactive
+
+    out = str(tmp_path / "progressive.png")
+    img = interactive.run_interactive(
+        scene_name="cube", width=32, height=32, backend="brute",
+        keys=iter("zz"), mode="path", bounces=1, out=out,
+    )
+    assert img is not None and img.shape == (32, 32, 3)
+    assert img.dtype == np.uint8
+    assert img.std() > 0  # actually rendered something
+
+
 def test_interactive_apply_key_pure():
     from tpu_raytracer.app.interactive import apply_key
 

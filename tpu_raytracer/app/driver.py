@@ -74,12 +74,14 @@ def run(
     tonemap: str = "none",
     exposure: float = 1.0,
     denoise: int = 0,
+    ao_radius: float = 1.0,
 ):
     """The render loop (kernel.cu:266-296): N timed frames, FPS printed
     per frame, final frame saved with the FPS overlay.
 
     ``mode``: primary (reference parity) | whitted (config 4) |
-    path (config 5). ``fly`` animates the camera (config 5 fly-through);
+    path (config 5) | ao (ambient-occlusion pass, --ao-radius).
+    ``fly`` animates the camera (config 5 fly-through);
     ``animate`` spins instance 0 (the reference's disabled teapot spin,
     kernel.cu:272-273).
     """
@@ -162,6 +164,11 @@ def run(
             key, sub = jax.random.split(key)
             img = render_image_path_traced(
                 *args, sub, 3, 4, lens_radius, focus_distance)
+        elif mode == "ao":
+            from ..render.pipeline import render_image_ao
+
+            key, sub = jax.random.split(key)
+            img = render_image_ao(*args, sub, 8, ao_radius)
         else:
             raise ValueError(f"unknown mode {mode}")
         jax.block_until_ready(img)
@@ -222,7 +229,9 @@ def main():
                     choices=["demo", "cube", "cornell", "bunny",
                              "instances", "colonnade"])
     ap.add_argument("--mode", default="primary",
-                    choices=["primary", "whitted", "path"])
+                    choices=["primary", "whitted", "path", "ao"])
+    ap.add_argument("--ao-radius", type=float, default=1.0,
+                    help="--mode ao: world-space occlusion query radius")
     ap.add_argument("--fly", action="store_true",
                     help="animated camera fly-through")
     ap.add_argument("--out", default="out.png")
@@ -286,7 +295,7 @@ def main():
         lens_radius=args.lens_radius, focus_distance=args.focus_distance,
         path_lights=args.path_lights,
         tonemap=args.tonemap, exposure=args.exposure,
-        denoise=args.denoise,
+        denoise=args.denoise, ao_radius=args.ao_radius,
     )
 
 

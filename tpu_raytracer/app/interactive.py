@@ -110,10 +110,21 @@ def run_interactive(
     max_frames: int | None = None,
     preview: bool | None = None,
     out: str = "interactive.png",
+    mode: str = "primary",
+    bounces: int = 2,
+    tonemap: str = "reinhard",
+    exposure: float = 1.0,
 ):
     """The interactive render loop. ``keys=None`` reads the TTY;
     otherwise consumes the iterator (headless/scripted mode). Returns
-    the last rendered frame as np.uint8 [H, W, 3]."""
+    the last rendered frame as np.uint8 [H, W, 3].
+
+    ``mode='path'`` renders PROGRESSIVELY: each frame adds one
+    path-traced sample (render_radiance_path_traced) to a linear-space
+    accumulator that resets whenever the camera moves — hold still and
+    the image converges, sample count shown in the status line. The
+    accumulator lives on device; only the tonemapped u8 preview comes
+    back per frame. 'r' forces a reset."""
     from .driver import build_demo_scene
     from .scenes import SCENES
     from ..render import Camera
@@ -130,11 +141,28 @@ def run_interactive(
     else:
         arrays, camera = SCENES[scene_name](width, height)
         width, height = camera.width, camera.height
-    config = RenderConfig(width=width, height=height, backend=backend)
+    config = RenderConfig(width=width, height=height, backend=backend,
+                          tonemap=tonemap, exposure=exposure)
 
-    @jax.jit
-    def frame(scene, K_inv, D, pose, inv_pose):
-        return render_image(config, scene, K_inv, D, pose, inv_pose)
+    if mode == "path":
+        from ..render.integrators import to_u8
+        from ..render.integrators import tonemap as tonemap_fn
+        from ..render.pipeline import render_radiance_path_traced
+
+        @jax.jit
+        def sample(scene, K_inv, D, pose, inv_pose, key):
+            return render_radiance_path_traced(
+                config, scene, K_inv, D, pose, inv_pose, key,
+                max_bounces=bounces, samples=1,
+            )
+
+        @jax.jit
+        def display(acc, n):
+            return to_u8(tonemap_fn(acc / n, config.tonemap, config.exposure))
+    else:
+        @jax.jit
+        def frame(scene, K_inv, D, pose, inv_pose):
+            return render_image(config, scene, K_inv, D, pose, inv_pose)
 
     scripted = keys is not None
     if preview is None:
@@ -143,6 +171,9 @@ def run_interactive(
     speed = 0.15
     n = 0
     img = None
+    acc = None  # path mode: on-device radiance sum since last move
+    n_acc = 0
+    rng = jax.random.PRNGKey(0)
     ctx = _RawTerminal() if not scripted else None
     try:
         if ctx is not None:
@@ -150,15 +181,24 @@ def run_interactive(
         while True:
             t0 = time.perf_counter()
             p = camera.ray_params()
-            img = np.asarray(
-                frame(arrays, p["K_inv"], p["D"], p["pose"], p["inv_pose"])
-            )
+            if mode == "path":
+                rng, k = jax.random.split(rng)
+                rad = sample(arrays, p["K_inv"], p["D"], p["pose"],
+                             p["inv_pose"], k)
+                acc = rad if acc is None else acc + rad
+                n_acc += 1
+                img = np.asarray(display(acc, np.float32(n_acc)))
+            else:
+                img = np.asarray(
+                    frame(arrays, p["K_inv"], p["D"], p["pose"], p["inv_pose"])
+                )
             dt = time.perf_counter() - t0
             n += 1
             if preview:
+                spp = f"  {n_acc} spp" if mode == "path" else ""
                 sys.stdout.write("\x1b[H\x1b[2J" + ansi_preview(img))
                 sys.stdout.write(
-                    f"\n{1/dt:6.1f} fps  pose={np.round(camera.pose, 2)}  "
+                    f"\n{1/dt:6.1f} fps{spp}  pose={np.round(camera.pose, 2)}  "
                     "[wasdqe move, ijkl orbit, p shot, x quit]\n"
                 )
                 sys.stdout.flush()
@@ -168,6 +208,7 @@ def run_interactive(
             if key is None and scripted:
                 break
             if key is not None:
+                pose0 = camera.pose
                 camera.pose, action = apply_key(camera.pose, key, speed)
                 if action == "quit":
                     break
@@ -177,6 +218,10 @@ def run_interactive(
                     speed *= 1.5
                 if action == "speed-":
                     speed /= 1.5
+                # progressive accumulation only holds for a still
+                # camera: restart on any pose change (or explicit 'r')
+                if key == "r" or not np.array_equal(pose0, camera.pose):
+                    acc, n_acc = None, 0
     finally:
         if ctx is not None:
             ctx.__exit__()
@@ -195,9 +240,19 @@ def main():
     ap.add_argument("--backend", default=None,
                     choices=["brute", "bvh", "pallas", "paged"])
     ap.add_argument("--out", default="interactive.png")
+    ap.add_argument("--mode", default="primary",
+                    choices=["primary", "path"],
+                    help="path = progressive path tracing: +1 sample "
+                         "per frame while the camera holds still")
+    ap.add_argument("--bounces", type=int, default=2)
+    ap.add_argument("--tonemap", default="reinhard",
+                    choices=["none", "reinhard", "aces"])
+    ap.add_argument("--exposure", type=float, default=1.0)
     args = ap.parse_args()
     run_interactive(scene_name=args.scene, width=args.width,
-                    height=args.height, backend=args.backend, out=args.out)
+                    height=args.height, backend=args.backend, out=args.out,
+                    mode=args.mode, bounces=args.bounces,
+                    tonemap=args.tonemap, exposure=args.exposure)
 
 
 if __name__ == "__main__":

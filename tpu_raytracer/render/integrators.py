@@ -411,6 +411,49 @@ def render_path_traced(
     return total / samples
 
 
+def render_ao(
+    scene: SceneArrays,
+    origin,
+    directions,
+    key: jax.Array,
+    samples: int = 8,
+    radius: float = 1.0,
+    backend: str = "bvh",
+    exact: bool = True,
+) -> jax.Array:
+    """Ambient occlusion: the fraction of the cosine-weighted
+    hemisphere above each primary hit that is unoccluded within
+    ``radius`` (framework extension — a standard production AOV the
+    reference's curand scaffolding, raycast.cu:190-193, anticipates but
+    never uses). Miss pixels are fully open (1.0). Returns [H, W] f32
+    in [0, 1].
+
+    Occlusion queries are DISTANCE-BOUNDED (hit counts only if
+    t < radius), so they use the nearest-hit cast, not the unbounded
+    any-hit shadow cast (renderer.occlusion_cast_fn docstring)."""
+    cast = get_cast_fn(backend)
+    cast2 = _secondary_cast_fn(cast, backend, False)
+    directions = jnp.asarray(directions, jnp.float32)
+    origin = jnp.broadcast_to(jnp.asarray(origin, jnp.float32), directions.shape)
+    shape = directions.shape[:-1]
+
+    attrs = hit_attributes(
+        scene, origin, directions, cast(scene, origin, directions),
+        exact=exact,
+    )
+
+    def one_sample(acc, k):
+        d = _cosine_sample(k, attrs.normal, exact)
+        o, dd = _park(attrs.location + d * SHADOW_EPS, d, attrs.hit)
+        occluded = cast2(scene, o, dd).t < radius
+        open_frac = jnp.where(attrs.hit, 1.0 - occluded.astype(jnp.float32), 1.0)
+        return acc + open_frac, None
+
+    keys = jax.random.split(key, samples)
+    total, _ = jax.lax.scan(one_sample, jnp.zeros(shape, jnp.float32), keys)
+    return total / samples
+
+
 def to_u8(radiance: jax.Array) -> jax.Array:
     """Float radiance -> uint8 with the reference's truncating cast
     (raycast.cu:292-294), clamped to the displayable range."""

@@ -211,6 +211,37 @@ def render_image_whitted(
     return _with_ssaa(config, K_inv, body)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 7, 8))
+def render_image_ao(
+    config: RenderConfig,
+    scene: SceneArrays,
+    K_inv: jax.Array,
+    D: jax.Array,
+    pose: jax.Array,
+    inv_pose: jax.Array,
+    key: jax.Array,
+    samples: int = 8,
+    radius: float = 1.0,
+) -> jax.Array:
+    """Ambient-occlusion render -> grayscale uint8 [H, W, 3]
+    (integrators.render_ao; a standard lighting-debug / compositing
+    pass the reference lacks)."""
+    from .integrators import render_ao, to_u8
+
+    def body(cfg, K_inv_b):
+        origin, directions = generate_rays(
+            cfg.width, cfg.height, K_inv_b, D, pose, inv_pose,
+            exact=cfg.exact_math,
+        )
+        ao = render_ao(
+            scene, origin, directions, key, samples=samples,
+            radius=radius, backend=cfg.backend, exact=cfg.exact_math,
+        )
+        return to_u8(jnp.broadcast_to(ao[..., None], ao.shape + (3,)))
+
+    return _with_ssaa(config, K_inv, body)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 7, 8, 9, 10))
 def render_radiance_path_traced(
     config: RenderConfig,
