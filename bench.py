@@ -57,15 +57,28 @@ def main():
     rays = cam.width * cam.height
 
     # best of 3 pipelined reps: single-rep readings vary ~+-4% with
-    # tunnel/host noise; best-of is the honest steady-state throughput
+    # tunnel/host noise; best-of is the honest steady-state throughput.
+    # The axon tunnel has a multi-second cold phase after idle periods
+    # (a fresh process can read ~2.5x slow for its first minute even
+    # after compile warmup) — run reps until the best-of stops
+    # improving, minimum 3, bounded at 12.
     n_iters = 10
     elapsed = float("inf")
-    for _ in range(3):
+    reps_since_improved = 0
+    for rep in range(12):
         start = time.perf_counter()
         for _ in range(n_iters):
             out = frame()
         jax.block_until_ready(out)
-        elapsed = min(elapsed, time.perf_counter() - start)
+        dt = time.perf_counter() - start
+        if dt < elapsed * 0.98:
+            elapsed = min(elapsed, dt)
+            reps_since_improved = 0
+        else:
+            elapsed = min(elapsed, dt)
+            reps_since_improved += 1
+        if rep >= 2 and reps_since_improved >= 2:
+            break
 
     mrays = rays * n_iters / elapsed / 1e6
     hit_frac = float((img != np.array([255, 204, 153], np.uint8)).any(-1).mean())

@@ -201,7 +201,19 @@ def make_test_tri(oo, od, inst_val, occlusion=False):
         cx = ax - oox
         cy = ay - ooy
         cz = az - ooz
-        t = (cx * nx + cy * ny + cz * nz) / denom
+        num = cx * nx + cy * ny + cz * nz
+        # Mask-diet (v18): accepted lanes require denom <= -eps < 0, so
+        # t >= 0 <=> num <= 0 (IEEE: num=+-0 gives t=+-0, and +-0 >= 0
+        # is true; num>0/denom<0 gives t<0 — exactly the same accept
+        # set). When the origin is uniform (primary rays), num is a
+        # per-triangle ROW constant: poison num>0 rows to NaN on the
+        # [1,128] row (NaN t fails every downstream compare) and drop
+        # the WIDE t>=0 test entirely. Per-ray-origin callers keep the
+        # wide test.
+        num_is_row = num.ndim == 2 and num.shape[0] == 1
+        if num_is_row:
+            num = jnp.where(num <= 0.0, num, jnp.float32(jnp.nan))
+        t = num / denom
         # e2 = (o - v0) + t*d evaluated as t*d - (v0 - o): IEEE negation
         # is exact and round-to-nearest is symmetric, so this is
         # bit-identical to the oracle's form while REUSING the t
@@ -214,16 +226,19 @@ def make_test_tri(oo, od, inst_val, occlusion=False):
         v = rbx * e2x + rby * e2y + rbz * e2z
         # EDGE_EPS-inclusive bounds: keeps edge-tie decisions OFF the
         # exact-zero point where Mosaic/XLA rounding diverges and
-        # closes shared-edge cracks (see intersect.EDGE_EPS)
+        # closes shared-edge cracks (see intersect.EDGE_EPS).
+        # min(u,v) >= -eps is exactly (u >= -eps) & (v >= -eps) — one
+        # wide op fewer (NaN propagates through minimum, so poisoned
+        # lanes still fail).
         ok = (
             live
             & (denom <= -PARALLEL_EPS)
-            & (t >= 0.0)
-            & (u >= -EDGE_EPS)
-            & (v >= -EDGE_EPS)
+            & (jnp.minimum(u, v) >= -EDGE_EPS)
             & (u + v <= 1.0 + EDGE_EPS)
             & (t < t_b)
         )
+        if not num_is_row:
+            ok = ok & (t >= 0.0)
         hit_t = jnp.float32(-BIG) if occlusion else t
         out_t = jnp.where(ok, hit_t, t_b)
         out_tri = jnp.where(ok, k, tri_b)
