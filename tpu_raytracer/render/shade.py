@@ -200,6 +200,10 @@ def sky_radiance(scene: SceneArrays, directions, exact: bool = True):
         jnp.asarray(SKY_COLOR, jnp.float32) / 255.0,
         directions.shape[:-1] + (3,),
     )
+    # STATIC gate: 4 gathers + arctan2/arcsin per ray are pure waste on
+    # skyless scenes (the traced `where` below keeps both sides live)
+    if not scene.has_sky:
+        return flat
     d = normalize(jnp.asarray(directions, jnp.float32), exact=exact)
     u = jnp.arctan2(d[..., 0], d[..., 1]) * jnp.float32(
         1.0 / (2.0 * math.pi)
@@ -235,6 +239,10 @@ def surface_color(
     see uv_screen_derivatives); without them it degrades to bilinear
     (secondary/bounce rays have no screen footprint)."""
     alb = scene.mat_albedo[attrs.material]
+    if not scene.has_textures:
+        # STATIC gate: no material anywhere is textured, so the atlas
+        # sample below is pure discarded work — skip it at trace time
+        return alb
     ipack = jnp.stack(
         [scene.mat_tex_start, scene.mat_tex_w, scene.mat_tex_h], axis=1
     )
@@ -362,9 +370,10 @@ def shade_primary(
     rgb = illum[..., None] * color * jnp.float32(255.0)
     shaded = rgb.astype(jnp.uint8)  # C-cast truncation (raycast.cu:292-294)
     sky = jnp.asarray(SKY_COLOR, jnp.uint8)
-    if directions is not None:
-        # environment-map sky on miss rays (scene.set_sky); the where
-        # keeps the skyless path at the EXACT reference constant
+    if directions is not None and scene.has_sky:
+        # environment-map sky on miss rays (scene.set_sky); skyless
+        # scenes skip this statically and keep the EXACT reference
+        # constant
         tex = (sky_radiance(scene, directions, exact=exact)
                * jnp.float32(255.0)).astype(jnp.uint8)
         sky = jnp.where(scene.sky_tex_start >= 0, tex, sky)

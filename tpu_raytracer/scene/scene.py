@@ -106,6 +106,21 @@ class SceneArrays:
     sky_tex_start: jax.Array  # [] i32
     sky_tex_w: jax.Array  # [] i32
     sky_tex_h: jax.Array  # [] i32
+    # STATIC mirror of `sky_tex_start >= 0`. The env-map sample costs 4
+    # atlas gathers + arctan2/arcsin PER RAY; with only the traced
+    # scalar to test, XLA cannot dead-code it for skyless scenes (the
+    # jnp.where keeps both sides live), so every shade paid it. A
+    # trace-time bool lets shade skip the whole path (measured: the
+    # r3 whitted/primary shading regression).
+    has_sky: bool = dataclasses.field(
+        default=False, metadata=dict(static=True)
+    )
+    # STATIC mirror of `(mat_tex_start >= 0).any()` — same rationale:
+    # untextured scenes skip the per-ray atlas sampling at trace time
+    # instead of paying gathers the jnp.where throws away.
+    has_textures: bool = dataclasses.field(
+        default=True, metadata=dict(static=True)
+    )
     # HBM-paging tables (kernels/paged.py PagedTables) for beyond-VMEM
     # scenes, attached by Scene.compile / ensure_paged. Riding inside
     # the scene pytree lets the paged tables cross every jit boundary
@@ -159,8 +174,9 @@ class SceneArrays:
         arrays = {
             f.name: np.asarray(getattr(self, f.name))
             for f in dataclasses.fields(self)
-            # derived tables; rebuilt on demand after load
-            if f.name not in ("paged", "tlas", "wide4")
+            # derived tables / static flags; rebuilt on demand after load
+            if f.name not in ("paged", "tlas", "wide4", "has_sky",
+                              "has_textures")
         }
         np.savez_compressed(fp, **arrays)
 
@@ -174,6 +190,10 @@ class SceneArrays:
             kw["sky_tex_start"] = jnp.int32(-1)
             kw["sky_tex_w"] = jnp.int32(0)
             kw["sky_tex_h"] = jnp.int32(0)
+        kw["has_sky"] = bool(np.asarray(kw["sky_tex_start"]) >= 0)
+        kw["has_textures"] = bool(
+            (np.asarray(kw["mat_tex_start"]) >= 0).any()
+        )
         return cls(**kw)
 
     def with_paging(self) -> "SceneArrays":
@@ -504,6 +524,8 @@ class Scene:
             sky_tex_start=i32(sky_start),
             sky_tex_w=i32(sky_w),
             sky_tex_h=i32(sky_h),
+            has_sky=self.sky_texture is not None,
+            has_textures=any(s >= 0 for s in tex_start),
         )
         # Beyond-VMEM scenes get their HBM-paging tables attached at
         # compile time, so EVERY render mode routes to the paged packet
