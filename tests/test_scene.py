@@ -93,6 +93,33 @@ def test_scene_roundtrips_through_save_load(tmp_path):
     np.testing.assert_array_equal(loaded.tri_v0, arrays.tri_v0)
     np.testing.assert_array_equal(loaded.node_child_a, arrays.node_child_a)
     np.testing.assert_array_equal(loaded.tex_atlas, arrays.tex_atlas)
+    # static trace-time flags are rebuilt from the traced fields on
+    # load (they are excluded from the save file)
+    assert loaded.has_sky == arrays.has_sky
+    assert loaded.has_textures == arrays.has_textures
+
+
+def test_static_flags_survive_save_load(tmp_path):
+    """has_sky/has_textures gate real work at trace time (shade.py) —
+    a load that lost them would silently render the flat sky / albedo
+    instead of the env map / texture."""
+    scene = build_two_instance_scene()
+    sky = np.zeros((8, 16, 3), np.uint8)
+    sky[:] = (10, 200, 30)
+    scene.set_sky(sky)
+    arrays = scene.compile()
+    assert arrays.has_sky and arrays.has_textures
+    fp = str(tmp_path / "sky_scene.npz")
+    arrays.save(fp)
+    loaded = SceneArrays.load(fp)
+    assert loaded.has_sky and loaded.has_textures
+    from tpu_raytracer.render.shade import sky_radiance
+
+    d = np.array([[0.0, 0.0, 1.0]], np.float32)
+    np.testing.assert_allclose(
+        np.asarray(sky_radiance(loaded, d)),
+        np.asarray(sky_radiance(arrays, d)),
+    )
 
 
 def test_update_instance_matches_recompile():
