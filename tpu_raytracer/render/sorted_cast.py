@@ -52,7 +52,14 @@ def morton30(q: jax.Array) -> jax.Array:
 
 def ray_sort_keys(origin: jax.Array, directions: jax.Array) -> jax.Array:
     """int32 coherence key per ray: origin morton (top 15 bits),
-    direction octant (3 bits), origin morton fine (low 15 bits)."""
+    direction octant (3 bits), origin morton fine (low 15 bits).
+
+    TRT_SORT_KEY=octant flips to octant-MAJOR (octant top, full origin
+    morton below): the wide kernel ranks a pop's children by the
+    PACKET-min entry distance, so direction-pure packets descend
+    near-first for every ray while mixed packets descend in an order
+    optimal for nobody — the A/B knob tests which matters more for
+    incoherent bounce casts."""
     lo = jnp.min(origin, axis=tuple(range(origin.ndim - 1)))
     hi = jnp.max(origin, axis=tuple(range(origin.ndim - 1)))
     scale = 1023.0 / jnp.maximum(hi - lo, 1e-12)
@@ -63,6 +70,8 @@ def ray_sort_keys(origin: jax.Array, directions: jax.Array) -> jax.Array:
         + 2 * (directions[..., 1] < 0).astype(jnp.int32)
         + 4 * (directions[..., 2] < 0).astype(jnp.int32)
     )
+    if os.environ.get("TRT_SORT_KEY") == "octant":
+        return (octant << 28) | (m >> 2)
     return ((m >> 15) << 18) | (octant << 15) | (m & 0x7FFF)
 
 
