@@ -118,7 +118,7 @@ def _smem_layout(wide: bool):
 
 
 def _dual_kernel(num_instances, with_stats, uniform_o, smem_codes,
-                 tri_rows, wide, flat_leaf, occlusion, *refs):
+                 tri_rows, wide, flat_leaf, occlusion, carry_uv, *refs):
     """``wide=True`` pops 4-wide collapsed nodes (accel/wide.py
     encoding: explicit child codes in SMEM, 32-lane box records) —
     combining the dual-tile sync sharing with the wide tree's ~3x
@@ -133,6 +133,10 @@ def _dual_kernel(num_instances, with_stats, uniform_o, smem_codes,
          ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
          code_ref, nodef_ref, trif_ref) = refs[:11]
         rest = refs[11:]
+    uv_out_refs = ()
+    if carry_uv:
+        uv_out_refs = rest[3:5]
+        rest = rest[:3] + rest[5:]
     if with_stats:
         t_out_ref, tri_out_ref, inst_out_ref, pops_ref, tests_ref, smem_ref = rest
     else:
@@ -171,14 +175,20 @@ def _dual_kernel(num_instances, with_stats, uniform_o, smem_codes,
     if not uniform_o:
         origs = [tuple(r[0, w] for r in (ox_ref, oy_ref, oz_ref))
                  for w in range(2)]
-    best = [
-        (
+    def _fresh_state():
+        st = (
             jnp.full((TILE_S, TILE_L), BIG, jnp.float32),
             jnp.full((TILE_S, TILE_L), -1, jnp.int32),
             jnp.full((TILE_S, TILE_L), -1, jnp.int32),
         )
-        for _ in range(2)
-    ]
+        if carry_uv:
+            st = st + (
+                jnp.zeros((TILE_S, TILE_L), jnp.float32),
+                jnp.zeros((TILE_S, TILE_L), jnp.float32),
+            )
+        return st
+
+    best = [_fresh_state() for _ in range(2)]
     n_pops = jnp.int32(0)
     n_tests = jnp.int32(0)
 
@@ -276,13 +286,13 @@ def _dual_kernel(num_instances, with_stats, uniform_o, smem_codes,
         _tt = [
             make_test_tri(
                 oo[w_], od[w_], None if num_instances == 1 else i,
-                occlusion,
+                occlusion, carry_uv=carry_uv,
             )
             for w_ in range(2)
         ]
 
-        def test_tri(w, rec, k, live, t_b, tri_b, in_b):
-            return _tt[w](rec, k, live, t_b, tri_b, in_b)
+        def test_tri(w, rec, k, live, *st):
+            return _tt[w](rec, k, live, *st)
 
         def popk_dual_wide(sps, t_bs):
             """Wide-mode combined pop: up to POP_K 4-wide nodes from
@@ -465,8 +475,8 @@ def _dual_kernel(num_instances, with_stats, uniform_o, smem_codes,
             return sp_out, leaves, pops
 
         def _row_tests(w, kr, count_end, acc):
-            """Test one packed 8-triangle row into ``acc``."""
-            t_b, tri_b, in_b = acc
+            """Test one packed 8-triangle row into ``acc`` (a state
+            tuple: (t, tri, inst) + (u, v) when carry_uv)."""
             row_i = jnp.minimum(kr // REC_PER_ROW, tri_rows - 1)
             row = trif_ref[pl.ds(row_i, 1), :]
             rep = jnp.broadcast_to(row, (REC_LANES, TILE_L))
@@ -477,10 +487,8 @@ def _dual_kernel(num_instances, with_stats, uniform_o, smem_codes,
                     jnp.where(mask, rep, 0.0), axis=1, keepdims=True
                 )
                 rec = vals + jnp.zeros((REC_LANES, TILE_L), jnp.float32)
-                t_b, tri_b, in_b = test_tri(
-                    w, rec, k, k < count_end, t_b, tri_b, in_b
-                )
-            return t_b, tri_b, in_b
+                acc = test_tri(w, rec, k, k < count_end, *acc)
+            return acc
 
         def single_leaf_loop(w, start, count, st):
             """One tile's leaf loop (TRT_DUAL_FUSED=0): no cross-tile
@@ -512,11 +520,7 @@ def _dual_kernel(num_instances, with_stats, uniform_o, smem_codes,
             # by that key and folding into the prior state with a
             # strict t-compare reproduces it bit-for-bit (equal-t ties
             # keep the earlier triangle / the pre-existing hit).
-            fresh = (
-                jnp.full((TILE_S, TILE_L), BIG, jnp.float32),
-                jnp.full((TILE_S, TILE_L), -1, jnp.int32),
-                jnp.full((TILE_S, TILE_L), -1, jnp.int32),
-            )
+            fresh = _fresh_state()
 
             def quad_body_acc(q, accs):
                 k0 = start + q * LEAF_U
@@ -528,18 +532,17 @@ def _dual_kernel(num_instances, with_stats, uniform_o, smem_codes,
             accs = jax.lax.fori_loop(
                 0, n_quads, quad_body_acc, (fresh,) * n_rows
             )
-            mt, mtri, mins = accs[0]
-            for t2, tri2, in2 in accs[1:]:
+            merged = accs[0]
+            for other in accs[1:]:
+                mt, mtri = merged[0], merged[1]
+                t2, tri2 = other[0], other[1]
                 take = (t2 < mt) | ((t2 == mt) & (tri2 >= 0) & (tri2 < mtri))
-                mt = jnp.where(take, t2, mt)
-                mtri = jnp.where(take, tri2, mtri)
-                mins = jnp.where(take, in2, mins)
-            t0, tri0, in0 = st
-            take = mt < t0
-            return (
-                jnp.where(take, mt, t0),
-                jnp.where(take, mtri, tri0),
-                jnp.where(take, mins, in0),
+                merged = tuple(
+                    jnp.where(take, b, a) for a, b in zip(merged, other)
+                )
+            take = merged[0] < st[0]
+            return tuple(
+                jnp.where(take, b, a) for a, b in zip(st, merged)
             )
 
         def leaf_drain(w, nl, st):
@@ -615,7 +618,6 @@ def _dual_kernel(num_instances, with_stats, uniform_o, smem_codes,
                 for w, (start, count, st) in enumerate(
                     ((sa, ca, stA), (sb, cb, stB))
                 ):
-                    t_b, tri_b, in_b = st
                     k0 = start + q * LEAF_UNROLL
                     row_i = jnp.minimum(k0 // REC_PER_ROW, tri_rows - 1)
                     row = trif_ref[pl.ds(row_i, 1), :]
@@ -629,10 +631,8 @@ def _dual_kernel(num_instances, with_stats, uniform_o, smem_codes,
                         rec = vals + jnp.zeros(
                             (REC_LANES, TILE_L), jnp.float32
                         )
-                        t_b, tri_b, in_b = test_tri(
-                            w, rec, k, k < start + count, t_b, tri_b, in_b
-                        )
-                    outs.append((t_b, tri_b, in_b))
+                        st = test_tri(w, rec, k, k < start + count, *st)
+                    outs.append(st)
                 return outs[0], outs[1]
 
             return jax.lax.fori_loop(0, n_quads, quad_body, (stA, stB))
@@ -677,12 +677,15 @@ def _dual_kernel(num_instances, with_stats, uniform_o, smem_codes,
         best = [bA, bB]
 
     for w in range(2):
-        t_b, tri_b, in_b = best[w]
+        t_b, tri_b, in_b = best[w][:3]
         if num_instances == 1:
             in_b = jnp.where(tri_b >= 0, 0, in_b)
         t_out_ref[0, w] = jnp.where(t_b >= BIG, _FLT_MAX, t_b)
         tri_out_ref[0, w] = tri_b
         inst_out_ref[0, w] = in_b
+        if carry_uv:
+            uv_out_refs[0][0, w] = best[w][3]
+            uv_out_refs[1][0, w] = best[w][4]
     if with_stats:
         zeros = jnp.zeros((TILE_S, TILE_L), jnp.int32)
         pops_ref[0, 0] = zeros + n_pops
@@ -692,7 +695,8 @@ def _dual_kernel(num_instances, with_stats, uniform_o, smem_codes,
 
 
 def _run_dual(scene: SceneArrays, tiled, interpret: bool, worigin=None,
-              wide: bool = False, occlusion: bool = False):
+              wide: bool = False, occlusion: bool = False,
+              carry_uv: bool = False):
     """Invoke the dual kernel over [n_tiles, TILE_S, 128] ray tiles,
     two tiles per grid step (n_tiles padded to even). ``wide`` swaps
     the binary node tables for the 4-wide collapse (scene.wide4)."""
@@ -757,10 +761,14 @@ def _run_dual(scene: SceneArrays, tiled, interpret: bool, worigin=None,
         )
     f32s = jax.ShapeDtypeStruct((n2, 2, TILE_S, TILE_L), jnp.float32)
     i32s = jax.ShapeDtypeStruct((n2, 2, TILE_S, TILE_L), jnp.int32)
-    out_shape = (f32s, i32s, i32s) + ((i32s, i32s) if with_stats else ())
+    out_shape = (
+        (f32s, i32s, i32s)
+        + ((f32s, f32s) if carry_uv else ())
+        + ((i32s, i32s) if with_stats else ())
+    )
     kernel = functools.partial(
         _dual_kernel, scene.num_instances, with_stats, uniform_o,
-        smem_codes, trif.shape[0], wide, flat_leaf, occlusion,
+        smem_codes, trif.shape[0], wide, flat_leaf, occlusion, carry_uv,
     )
     outs = pl.pallas_call(
         kernel,
@@ -774,6 +782,10 @@ def _run_dual(scene: SceneArrays, tiled, interpret: bool, worigin=None,
         ),
         interpret=interpret,
     )(*inputs)
+    uv = ()
+    if carry_uv:
+        uv = outs[3:5]
+        outs = outs[:3] + outs[5:]
     if with_stats:
         t, tri, inst, pops, tests = outs
         from .traversal import _LAST_STATS
@@ -783,7 +795,7 @@ def _run_dual(scene: SceneArrays, tiled, interpret: bool, worigin=None,
     else:
         t, tri, inst = outs
     unstack = lambda a: a.reshape(-1, TILE_S, TILE_L)[: tiled[0].shape[0]]
-    return unstack(t), unstack(tri), unstack(inst)
+    return tuple(unstack(a) for a in (t, tri, inst) + uv)
 
 
 def cast_rays_dual(scene: SceneArrays, origin, directions, interpret=None,
@@ -791,7 +803,12 @@ def cast_rays_dual(scene: SceneArrays, origin, directions, interpret=None,
     """Nearest-hit query with the dual-tile interleaved kernel. Same
     Hit record and ray-layout handling as cast_rays_pallas. ``wide``
     pops 4-wide collapsed nodes (needs scene.wide4); defaults to wide
-    when the tables are present (TRT_DUAL_WIDE=0 forces binary)."""
+    when the tables are present (TRT_DUAL_WIDE=0 forces binary).
+
+    On textured scenes (scene.has_textures, a static flag) the kernel
+    additionally carries the accepted barycentric u/v and returns them
+    on the Hit record — hit_attributes then skips the object-space
+    barycentric redo (PERF_LOG r3: the attrs wall)."""
     from ..render.renderer import Hit  # local: avoids cycle
 
     if wide is None:
@@ -801,6 +818,17 @@ def cast_rays_dual(scene: SceneArrays, origin, directions, interpret=None,
         )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    # Default ON only on real TPU: the same-device oracle (tests/
+    # test_pallas_tpu.py) holds there — Mosaic's fused u/v match the
+    # XLA oracle bit-for-bit. CPU INTERPRET mode contracts FMAs
+    # differently (ulp-level u/v drift, see intersect.EDGE_EPS notes),
+    # so interpret keeps the redo path unless TRT_CARRY_UV=1 forces it
+    # (test_carry_uv.py exercises that with an honest tolerance).
+    env_uv = os.environ.get("TRT_CARRY_UV")
+    carry_uv = (
+        scene.has_textures and not occlusion
+        and (env_uv == "1" if env_uv is not None else not interpret)
+    )
     directions = jnp.asarray(directions, jnp.float32)
     origin = jnp.asarray(origin, jnp.float32)
     uniform_o = origin.ndim == 1
@@ -820,13 +848,10 @@ def cast_rays_dual(scene: SceneArrays, origin, directions, interpret=None,
         if not uniform_o:
             srcs = [(origin, 0), (origin, 1), (origin, 2)] + srcs
         tiled = tuple(_image_to_tiles(a[..., c]) for a, c in srcs)
-        t, tri, inst = _run_dual(scene, tiled, interpret, worigin, wide,
-                                 occlusion)
-        return Hit(
-            t=_tiles_to_image(t, h, w),
-            tri=_tiles_to_image(tri, h, w),
-            inst=_tiles_to_image(inst, h, w),
-        )
+        outs = _run_dual(scene, tiled, interpret, worigin, wide,
+                         occlusion, carry_uv)
+        imgs = tuple(_tiles_to_image(a, h, w) for a in outs)
+        return Hit(*imgs)
 
     flat_d = directions.reshape(-1, 3)
     r = flat_d.shape[0]
@@ -844,7 +869,7 @@ def cast_rays_dual(scene: SceneArrays, origin, directions, interpret=None,
             )
         srcs = [(flat_o, 0), (flat_o, 1), (flat_o, 2)] + srcs
     tiled = tuple(a[:, c].reshape(-1, TILE_S, TILE_L) for a, c in srcs)
-    t, tri, inst = _run_dual(scene, tiled, interpret, worigin, wide,
-                                 occlusion)
+    outs = _run_dual(scene, tiled, interpret, worigin, wide,
+                     occlusion, carry_uv)
     unpack = lambda a: a.reshape(-1)[:r].reshape(shape)
-    return Hit(t=unpack(t), tri=unpack(tri), inst=unpack(inst))
+    return Hit(*(unpack(a) for a in outs))

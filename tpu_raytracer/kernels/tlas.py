@@ -167,7 +167,7 @@ def build_tlas(scene: SceneArrays) -> TlasTables:
 
 
 def _tlas_kernel(with_stats, uniform_o, smem_codes, wide, tri_rows,
-                 occlusion, *refs):
+                 occlusion, carry_uv, *refs):
     (
         inst_tab_ref,  # SMEM [I, 12] f32 quat/pos/inv_scale
         inst_root_ref,  # SMEM [I] i32 BLAS root node per instance
@@ -185,6 +185,10 @@ def _tlas_kernel(with_stats, uniform_o, smem_codes, wide, tri_rows,
         refs = refs[6:]
     tlas_nodef_ref, code_ref, nodef_ref, trif_ref = refs[:4]
     rest = refs[4:]
+    uv_out_refs = ()
+    if carry_uv:
+        uv_out_refs = rest[3:5]
+        rest = rest[:3] + rest[5:]
     if with_stats:
         t_out_ref, tri_out_ref, inst_out_ref, pops_ref, tests_ref, smem_ref = rest
     else:
@@ -278,7 +282,7 @@ def _tlas_kernel(with_stats, uniform_o, smem_codes, wide, tri_rows,
         # ``i`` is TRACED here (TLAS leaves pick the instance at
         # runtime), so instance tracking is always on
         test_tri = make_test_tri((oox, ooy, ooz), (odx, ody, odz), i,
-                                 occlusion)
+                                 occlusion, carry_uv=carry_uv)
 
         def popk_wide(sp, t_b):
             """4-WIDE BLAS pops (kernels/wide4.py popk with the BLAS
@@ -345,7 +349,6 @@ def _tlas_kernel(with_stats, uniform_o, smem_codes, wide, tri_rows,
             loads per fori step (kernels/dual.py LEAF_U pattern;
             overshoot rows clamped, tests masked by count)."""
             def row_tests(kr, count_end, acc):
-                t_b, tri_b, in_b = acc
                 row_i = jnp.minimum(kr // REC_PER_ROW, tri_rows - 1)
                 row = trif_ref[pl.ds(row_i, 1), :]
                 rep = jnp.broadcast_to(row, (REC_LANES, TILE_L))
@@ -356,10 +359,8 @@ def _tlas_kernel(with_stats, uniform_o, smem_codes, wide, tri_rows,
                         jnp.where(mask, rep, 0.0), axis=1, keepdims=True
                     )
                     rec = vals + jnp.zeros((REC_LANES, TILE_L), jnp.float32)
-                    t_b, tri_b, in_b = test_tri(
-                        rec, k, k < count_end, t_b, tri_b, in_b
-                    )
-                return t_b, tri_b, in_b
+                    acc = test_tri(rec, k, k < count_end, *acc)
+                return acc
 
             n_rows = LEAF_UW // LEAF_UNROLL
 
@@ -431,7 +432,6 @@ def _tlas_kernel(with_stats, uniform_o, smem_codes, wide, tri_rows,
 
         def leaf_loop(start, count, acc):
             def quad_body(q, acc):
-                t_b, tri_b, in_b = acc
                 k0 = start + q * LEAF_UNROLL
                 row = trif_ref[pl.ds(k0 // REC_PER_ROW, 1), :]
                 rep = jnp.broadcast_to(row, (REC_LANES, TILE_L))
@@ -442,10 +442,8 @@ def _tlas_kernel(with_stats, uniform_o, smem_codes, wide, tri_rows,
                         jnp.where(mask, rep, 0.0), axis=1, keepdims=True
                     )
                     rec = vals + jnp.zeros((REC_LANES, TILE_L), jnp.float32)
-                    t_b, tri_b, in_b = test_tri(
-                        rec, k, k < start + count, t_b, tri_b, in_b
-                    )
-                return t_b, tri_b, in_b
+                    acc = test_tri(rec, k, k < start + count, *acc)
+                return acc
 
             n_quads = (count + LEAF_UNROLL - 1) // LEAF_UNROLL
             return jax.lax.fori_loop(0, n_quads, quad_body, acc)
@@ -505,6 +503,11 @@ def _tlas_kernel(with_stats, uniform_o, smem_codes, wide, tri_rows,
         jnp.full((TILE_S, TILE_L), -1, jnp.int32),
         jnp.full((TILE_S, TILE_L), -1, jnp.int32),
     )
+    if carry_uv:
+        best = best + (
+            jnp.zeros((TILE_S, TILE_L), jnp.float32),
+            jnp.zeros((TILE_S, TILE_L), jnp.float32),
+        )
 
     def outer(c):
         sp, state, np_, nt_ = c
@@ -533,10 +536,13 @@ def _tlas_kernel(with_stats, uniform_o, smem_codes, wide, tri_rows,
     carry = jax.lax.while_loop(lambda c: c[0] > 0, outer, carry)
     _, best, n_pops, n_tests = carry
 
-    t_b, tri_b, in_b = best
+    t_b, tri_b, in_b = best[:3]
     t_out_ref[0] = jnp.where(t_b >= BIG, _FLT_MAX, t_b)
     tri_out_ref[0] = tri_b
     inst_out_ref[0] = in_b
+    if carry_uv:
+        uv_out_refs[0][0] = best[3]
+        uv_out_refs[1][0] = best[4]
     if with_stats:
         zeros = jnp.zeros((TILE_S, TILE_L), jnp.int32)
         pops_ref[0] = zeros + n_pops
@@ -544,7 +550,7 @@ def _tlas_kernel(with_stats, uniform_o, smem_codes, wide, tri_rows,
 
 
 def _run_tlas(scene: SceneArrays, tables: TlasTables, tiled, interpret,
-              worigin=None, occlusion=False):
+              worigin=None, occlusion=False, carry_uv=False):
     uniform_o = worigin is not None
     if uniform_o:
         dx = tiled[0]
@@ -599,10 +605,14 @@ def _run_tlas(scene: SceneArrays, tables: TlasTables, tiled, interpret,
         )
     f32s = jax.ShapeDtypeStruct((n_tiles, TILE_S, TILE_L), jnp.float32)
     i32s = jax.ShapeDtypeStruct((n_tiles, TILE_S, TILE_L), jnp.int32)
-    out_shape = (f32s, i32s, i32s) + ((i32s, i32s) if with_stats else ())
+    out_shape = (
+        (f32s, i32s, i32s)
+        + ((f32s, f32s) if carry_uv else ())
+        + ((i32s, i32s) if with_stats else ())
+    )
     kernel = functools.partial(
         _tlas_kernel, with_stats, uniform_o, smem_codes, wide,
-        trif.shape[0], occlusion,
+        trif.shape[0], occlusion, carry_uv,
     )
     outs = pl.pallas_call(
         kernel,
@@ -616,6 +626,10 @@ def _run_tlas(scene: SceneArrays, tables: TlasTables, tiled, interpret,
         ),
         interpret=interpret,
     )(*inputs)
+    uv = ()
+    if carry_uv:
+        uv = outs[3:5]
+        outs = outs[:3] + outs[5:]
     if with_stats:
         t, tri, inst, pops, tests = outs
         from .traversal import _LAST_STATS
@@ -624,7 +638,7 @@ def _run_tlas(scene: SceneArrays, tables: TlasTables, tiled, interpret,
         _LAST_STATS["tests"] = tests[:, 0, 0]
     else:
         t, tri, inst = outs
-    return t, tri, inst
+    return (t, tri, inst) + uv
 
 
 def cast_rays_tlas(scene: SceneArrays, origin, directions, interpret=None,
@@ -639,6 +653,13 @@ def cast_rays_tlas(scene: SceneArrays, origin, directions, interpret=None,
         raise ValueError("scene has no TLAS; call scene.with_tlas() first")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    # ON only on real TPU by default — see cast_rays_dual's note (CPU
+    # interpret contracts FMAs differently; ulp-level u/v drift)
+    env_uv = _os.environ.get("TRT_CARRY_UV")
+    carry_uv = (
+        scene.has_textures and not occlusion
+        and (env_uv == "1" if env_uv is not None else not interpret)
+    )
     directions = jnp.asarray(directions, jnp.float32)
     origin = jnp.asarray(origin, jnp.float32)
     uniform_o = origin.ndim == 1
@@ -658,13 +679,9 @@ def cast_rays_tlas(scene: SceneArrays, origin, directions, interpret=None,
         if not uniform_o:
             srcs = [(origin, 0), (origin, 1), (origin, 2)] + srcs
         tiled = tuple(_image_to_tiles(a[..., c]) for a, c in srcs)
-        t, tri, inst = _run_tlas(scene, tables, tiled, interpret, worigin,
-                          occlusion)
-        return Hit(
-            t=_tiles_to_image(t, h, w),
-            tri=_tiles_to_image(tri, h, w),
-            inst=_tiles_to_image(inst, h, w),
-        )
+        outs = _run_tlas(scene, tables, tiled, interpret, worigin,
+                         occlusion, carry_uv)
+        return Hit(*(_tiles_to_image(a, h, w) for a in outs))
 
     flat_d = directions.reshape(-1, 3)
     r = flat_d.shape[0]
@@ -682,7 +699,7 @@ def cast_rays_tlas(scene: SceneArrays, origin, directions, interpret=None,
             )
         srcs = [(flat_o, 0), (flat_o, 1), (flat_o, 2)] + srcs
     tiled = tuple(a[:, c].reshape(-1, TILE_S, TILE_L) for a, c in srcs)
-    t, tri, inst = _run_tlas(scene, tables, tiled, interpret, worigin,
-                          occlusion)
+    outs = _run_tlas(scene, tables, tiled, interpret, worigin,
+                     occlusion, carry_uv)
     unpack = lambda a: a.reshape(-1)[:r].reshape(shape)
-    return Hit(t=unpack(t), tri=unpack(tri), inst=unpack(inst))
+    return Hit(*(unpack(a) for a in outs))

@@ -142,7 +142,7 @@ LEAF_UNROLL = 8  # triangles tested per leaf-loop iteration (leaves avg ~12 at m
 assert LEAF_UNROLL == REC_PER_ROW
 
 
-def make_test_tri(oo, od, inst_val, occlusion=False):
+def make_test_tri(oo, od, inst_val, occlusion=False, carry_uv=False):
     """Build the dense per-triangle test closure shared by ALL Pallas
     kernels (binary, 4-wide, dual, TLAS, paged): one triangle record
     against the whole ray tile (TrianglePrimitive.hpp:62-79, 151-169;
@@ -183,8 +183,19 @@ def make_test_tri(oo, od, inst_val, occlusion=False):
     queries need (raycast.cu:263-287's cast is also boolean)."""
     oox, ooy, ooz = oo
     odx, ody, odz = od
+    if carry_uv and occlusion:
+        raise ValueError("carry_uv is meaningless for occlusion casts")
 
-    def test_tri(rec, k, live, t_b, tri_b, in_b):
+    def test_tri(rec, k, live, t_b, tri_b, in_b, *uv_b):
+        """``carry_uv``: two extra state tiles (u_b, v_b) follow
+        (t, tri, inst) — the accepted triangle's barycentric u/v are
+        selected alongside t at accept time (2 extra wide selects per
+        tested row). Downstream, hit_attributes rebuilds shading UVs
+        from ONE [T, 6] uv-row gather instead of re-deriving the
+        barycentrics through the object-space transform + [T, 18]
+        record-gather chain — the measured r3 attrs wall on textured
+        scenes. Bit-exact: u/v here ARE the oracle's u/v (shared
+        affine rows + fused e2 form, see the v17 notes above)."""
         ax = rec[0:1, :]
         ay = rec[1:2, :]
         az = rec[2:3, :]
@@ -242,9 +253,15 @@ def make_test_tri(oo, od, inst_val, occlusion=False):
         hit_t = jnp.float32(-BIG) if occlusion else t
         out_t = jnp.where(ok, hit_t, t_b)
         out_tri = jnp.where(ok, k, tri_b)
-        if inst_val is None:
-            return out_t, out_tri, in_b
-        return out_t, out_tri, jnp.where(ok, inst_val, in_b)
+        out_in = in_b if inst_val is None else jnp.where(ok, inst_val, in_b)
+        if carry_uv:
+            u_b, v_b = uv_b
+            # u/v are [1, 128] rows only when BOTH the origin and the
+            # direction are row-shaped (never for real ray tiles); ok
+            # broadcasts the select up to the state tile shape
+            return (out_t, out_tri, out_in,
+                    jnp.where(ok, u, u_b), jnp.where(ok, v, v_b))
+        return out_t, out_tri, out_in
 
     return test_tri
 

@@ -172,7 +172,7 @@ def render_whitted(
             radiance = perm(radiance)
             throughput = perm(throughput)
             active = perm(active)
-            hit = type(hit)(*(perm(x) for x in hit))
+            hit = type(hit)(*(None if x is None else perm(x) for x in hit))
             attrs = type(attrs)(*(perm(x) for x in attrs))
 
         miss = active & ~attrs.hit

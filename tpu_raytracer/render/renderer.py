@@ -43,11 +43,21 @@ STACK_SIZE = 40  # max BVH depth is 32 (MeshPrimitive.cpp:54); pops push <= +1
 
 class Hit(NamedTuple):
     """Compact per-ray hit record. ``t`` is world-space distance
-    (FLT_MAX = miss), indices are -1 on miss."""
+    (FLT_MAX = miss), indices are -1 on miss.
+
+    ``u``/``v`` (optional, None when the backend does not carry them):
+    the accepted triangle's barycentric coordinates, recorded by the
+    Pallas kernels at accept time on textured scenes. When present,
+    hit_attributes derives shading UVs from them directly — skipping
+    the object-space ray rebuild + [T, 18] record gather + barycentric
+    redo, the dominant attrs cost on textured scenes (PERF_LOG r3).
+    Bit-identical to the redo (shared affine rows, intersect.py)."""
 
     t: jax.Array
     tri: jax.Array
     inst: jax.Array
+    u: jax.Array | None = None
+    v: jax.Array | None = None
 
 
 def _instance_object_ray(scene: SceneArrays, i, origin, direction):
@@ -195,7 +205,7 @@ def cast_rays_bvh(scene: SceneArrays, origin, directions) -> Hit:
     flat_o = origin.reshape(-1, 3)
     flat_d = directions.reshape(-1, 3)
     hit = jax.vmap(lambda o, d: _cast_one_bvh(scene, o, d))(flat_o, flat_d)
-    return Hit(*(x.reshape(shape) for x in hit))
+    return Hit(*(None if x is None else x.reshape(shape) for x in hit))
 
 
 # ---------------------------------------------------------------------------
@@ -239,21 +249,49 @@ def hit_attributes(
     obj_dir = T.apply_euler(inst_pose[..., 3:6], directions) * inv_scale
     obj_org = T.apply_lre(inst_pose, origin) * inv_scale
 
-    # ONE wide row gather instead of 7 separate table gathers (TPU
-    # gathers are expensive per-op; the [T, 18] concat is a cheap
-    # bandwidth pass inside the same jit)
-    packed = jnp.concatenate(
-        [scene.tri_v0, scene.tri_v1, scene.tri_v2, scene.tri_normal,
-         scene.tri_uv0, scene.tri_uv1, scene.tri_uv2], axis=1
-    )
-    rec = packed[tri]
-    tv0 = rec[..., 0:3]
-    tnormal = rec[..., 9:12]
-    tp, point, _ = ray_plane_hit(obj_org, obj_dir, tv0, tnormal)
-    uv, _ = point_in_triangle_uv(
-        obj_org, obj_dir, tp, tv0, rec[..., 3:6], rec[..., 6:9],
-        rec[..., 12:14], rec[..., 14:16], rec[..., 16:18],
-    )
+    if hit.u is not None:
+        # Kernel-carried barycentrics (Hit.u/v, Pallas kernels on
+        # textured scenes): the uv chain collapses to ONE [T, 6]
+        # uv-row gather + the reference's interpolation — no
+        # object-space redo. TPU gathers cost per ELEMENT (PERF_LOG
+        # r3: attrs was ~36 gathered elements/ray and the wall on
+        # textured scenes); this path is ~7. Bit-exact: u/v are the
+        # oracle's (shared affine rows), and the interpolation below
+        # is point_in_triangle_uv's exact expression.
+        uvpack = jnp.concatenate(
+            [scene.tri_uv0, scene.tri_uv1, scene.tri_uv2], axis=1
+        )
+        uvr = uvpack[tri]
+        u = hit.u
+        v = hit.v
+        w = 1.0 - u - v
+        uv = (
+            w[..., None] * uvr[..., 0:2] + v[..., None] * uvr[..., 2:4]
+            + u[..., None] * uvr[..., 4:6]
+        )
+        # hit.t IS the plane parameter on accepted lanes (kernel t ==
+        # ray_plane_hit's t bit-for-bit, v17 notes), so the plane redo
+        # drops too; same point formula as ray_plane_hit. Misses keep
+        # finite garbage (t clamped to 0) like the redo produced.
+        tp = jnp.where(ok, hit.t, 0.0)
+        point = obj_org + tp[..., None] * obj_dir
+        tnormal = scene.tri_normal[tri]
+    else:
+        # ONE wide row gather instead of 7 separate table gathers (TPU
+        # gathers are expensive per-op; the [T, 18] concat is a cheap
+        # bandwidth pass inside the same jit)
+        packed = jnp.concatenate(
+            [scene.tri_v0, scene.tri_v1, scene.tri_v2, scene.tri_normal,
+             scene.tri_uv0, scene.tri_uv1, scene.tri_uv2], axis=1
+        )
+        rec = packed[tri]
+        tv0 = rec[..., 0:3]
+        tnormal = rec[..., 9:12]
+        tp, point, _ = ray_plane_hit(obj_org, obj_dir, tv0, tnormal)
+        uv, _ = point_in_triangle_uv(
+            obj_org, obj_dir, tp, tv0, rec[..., 3:6], rec[..., 6:9],
+            rec[..., 12:14], rec[..., 14:16], rec[..., 16:18],
+        )
     location = T.apply_lre(inst_inv_pose, point * scale)
     # World normal: reference multiplies by scale (raycast.cu:115-122);
     # correct for uniform scale, preserved for parity.

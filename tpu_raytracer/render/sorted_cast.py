@@ -113,8 +113,11 @@ def cast_rays_sorted(cast_fn, scene, origin, directions):
     order = jnp.argsort(keys)
     hit = cast_fn(scene, flat_o[order], flat_d[order])
 
-    unscatter = lambda a: jnp.zeros_like(a).at[order].set(a).reshape(shape)
-    return Hit(t=unscatter(hit.t), tri=unscatter(hit.tri), inst=unscatter(hit.inst))
+    unscatter = lambda a: (
+        None if a is None
+        else jnp.zeros_like(a).at[order].set(a).reshape(shape)
+    )
+    return Hit(*(unscatter(a) for a in hit))
 
 
 # Terminated-lane parking spot: origin far outside every scene with a
