@@ -70,6 +70,35 @@ def test_carry_uv_image_matches_oracle_up_to_texel_flips(carry_env):
     assert flipped <= 8, f"{flipped} pixels differ"
 
 
+def test_carry_n_is_a_pure_select(carry_env):
+    """Hit.n must equal the gathered tri_normal bit-for-bit on every
+    platform — it is a register select of the same record rows, with
+    no arithmetic anywhere."""
+    arrays, cam = _scene()
+    p = cam.ray_params()
+    o, d = generate_rays(cam.width, cam.height, p["K_inv"], p["D"],
+                         p["pose"], p["inv_pose"])
+    hp = cast_rays_pallas(arrays, o, d, interpret=True, want_normals=True)
+    assert hp.n is not None
+    tri = np.maximum(np.asarray(hp.tri), 0)
+    want = np.asarray(arrays.tri_normal)[tri]
+    hit = np.asarray(hp.tri) >= 0
+    np.testing.assert_array_equal(np.asarray(hp.n)[hit], want[hit])
+
+
+def test_carry_n_lit_image_close_to_oracle(carry_env):
+    """Lit (lambert_shadow) render with carried normals vs the brute
+    oracle: normals are bit-exact, but the location shortcut (plane
+    point from hit.t) drifts by ulps under CPU-interpret FMA
+    contraction — shadow-ray origins may flip an edge pixel."""
+    arrays, cam = _scene()
+    cfg = dict(backend="pallas", lighting="lambert_shadow")
+    img_carry = np.asarray(render(cam, arrays, **cfg))
+    img_oracle = np.asarray(render(cam, arrays, **dict(cfg, backend="brute")))
+    flipped = (img_carry != img_oracle).any(-1).sum()
+    assert flipped <= 8, f"{flipped} pixels differ"
+
+
 def test_carry_uv_off_for_untextured_scenes(carry_env):
     from tpu_raytracer.scene import Material, MeshInstance, Scene, objloader, procgen
 

@@ -75,6 +75,19 @@ def _checks():
     b = np.asarray(render(cam3, arrays3, backend="pallas"))
     assert (a == b).all(), "sharded pallas != unsharded pallas"
     print("shard_map x pallas OK on", mesh.shape)
+
+    # lit render: want_normals routes through the kernel normal carry
+    # (Hit.n) + the hit.t location shortcut on TPU — must stay
+    # bit-exact vs the brute oracle (pure record selects + the shared
+    # plane-point formula)
+    for sc, cm, label in ((arrays, cam, "textured cube"),
+                          (arrays3, cam3, "two-instance")):
+        a = np.asarray(render(cm, sc, backend="pallas",
+                              lighting="lambert_shadow"))
+        b = np.asarray(render(cm, sc, backend="brute",
+                              lighting="lambert_shadow"))
+        assert (a == b).all(), f"lit pallas != brute on {label}"
+    print("lit (carry-n) pallas == brute OK")
     return True
 
 

@@ -61,6 +61,7 @@ from .traversal import (
     TILE_L,
     TILE_S,
     _FLT_MAX,
+    _hit_from_outs,
     _image_to_tiles,
     _quat_rot,
     _scene_kernel_inputs,
@@ -118,7 +119,8 @@ def _smem_layout(wide: bool):
 
 
 def _dual_kernel(num_instances, with_stats, uniform_o, smem_codes,
-                 tri_rows, wide, flat_leaf, occlusion, carry_uv, *refs):
+                 tri_rows, wide, flat_leaf, occlusion, carry_uv,
+                 carry_n, *refs):
     """``wide=True`` pops 4-wide collapsed nodes (accel/wide.py
     encoding: explicit child codes in SMEM, 32-lane box records) —
     combining the dual-tile sync sharing with the wide tree's ~3x
@@ -133,10 +135,11 @@ def _dual_kernel(num_instances, with_stats, uniform_o, smem_codes,
          ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
          code_ref, nodef_ref, trif_ref) = refs[:11]
         rest = refs[11:]
-    uv_out_refs = ()
-    if carry_uv:
-        uv_out_refs = rest[3:5]
-        rest = rest[:3] + rest[5:]
+    n_extra = (2 if carry_uv else 0) + (3 if carry_n else 0)
+    extra_out_refs = ()
+    if n_extra:
+        extra_out_refs = rest[3:3 + n_extra]
+        rest = rest[:3] + rest[3 + n_extra:]
     if with_stats:
         t_out_ref, tri_out_ref, inst_out_ref, pops_ref, tests_ref, smem_ref = rest
     else:
@@ -181,11 +184,8 @@ def _dual_kernel(num_instances, with_stats, uniform_o, smem_codes,
             jnp.full((TILE_S, TILE_L), -1, jnp.int32),
             jnp.full((TILE_S, TILE_L), -1, jnp.int32),
         )
-        if carry_uv:
-            st = st + (
-                jnp.zeros((TILE_S, TILE_L), jnp.float32),
-                jnp.zeros((TILE_S, TILE_L), jnp.float32),
-            )
+        for _ in range(n_extra):
+            st = st + (jnp.zeros((TILE_S, TILE_L), jnp.float32),)
         return st
 
     best = [_fresh_state() for _ in range(2)]
@@ -286,7 +286,7 @@ def _dual_kernel(num_instances, with_stats, uniform_o, smem_codes,
         _tt = [
             make_test_tri(
                 oo[w_], od[w_], None if num_instances == 1 else i,
-                occlusion, carry_uv=carry_uv,
+                occlusion, carry_uv=carry_uv, carry_n=carry_n,
             )
             for w_ in range(2)
         ]
@@ -683,9 +683,8 @@ def _dual_kernel(num_instances, with_stats, uniform_o, smem_codes,
         t_out_ref[0, w] = jnp.where(t_b >= BIG, _FLT_MAX, t_b)
         tri_out_ref[0, w] = tri_b
         inst_out_ref[0, w] = in_b
-        if carry_uv:
-            uv_out_refs[0][0, w] = best[w][3]
-            uv_out_refs[1][0, w] = best[w][4]
+        for e in range(n_extra):
+            extra_out_refs[e][0, w] = best[w][3 + e]
     if with_stats:
         zeros = jnp.zeros((TILE_S, TILE_L), jnp.int32)
         pops_ref[0, 0] = zeros + n_pops
@@ -696,7 +695,7 @@ def _dual_kernel(num_instances, with_stats, uniform_o, smem_codes,
 
 def _run_dual(scene: SceneArrays, tiled, interpret: bool, worigin=None,
               wide: bool = False, occlusion: bool = False,
-              carry_uv: bool = False):
+              carry_uv: bool = False, carry_n: bool = False):
     """Invoke the dual kernel over [n_tiles, TILE_S, 128] ray tiles,
     two tiles per grid step (n_tiles padded to even). ``wide`` swaps
     the binary node tables for the 4-wide collapse (scene.wide4)."""
@@ -761,14 +760,16 @@ def _run_dual(scene: SceneArrays, tiled, interpret: bool, worigin=None,
         )
     f32s = jax.ShapeDtypeStruct((n2, 2, TILE_S, TILE_L), jnp.float32)
     i32s = jax.ShapeDtypeStruct((n2, 2, TILE_S, TILE_L), jnp.int32)
+    n_extra = (2 if carry_uv else 0) + (3 if carry_n else 0)
     out_shape = (
         (f32s, i32s, i32s)
-        + ((f32s, f32s) if carry_uv else ())
+        + (f32s,) * n_extra
         + ((i32s, i32s) if with_stats else ())
     )
     kernel = functools.partial(
         _dual_kernel, scene.num_instances, with_stats, uniform_o,
         smem_codes, trif.shape[0], wide, flat_leaf, occlusion, carry_uv,
+        carry_n,
     )
     outs = pl.pallas_call(
         kernel,
@@ -782,10 +783,10 @@ def _run_dual(scene: SceneArrays, tiled, interpret: bool, worigin=None,
         ),
         interpret=interpret,
     )(*inputs)
-    uv = ()
-    if carry_uv:
-        uv = outs[3:5]
-        outs = outs[:3] + outs[5:]
+    extra = ()
+    if n_extra:
+        extra = outs[3:3 + n_extra]
+        outs = outs[:3] + outs[3 + n_extra:]
     if with_stats:
         t, tri, inst, pops, tests = outs
         from .traversal import _LAST_STATS
@@ -795,11 +796,12 @@ def _run_dual(scene: SceneArrays, tiled, interpret: bool, worigin=None,
     else:
         t, tri, inst = outs
     unstack = lambda a: a.reshape(-1, TILE_S, TILE_L)[: tiled[0].shape[0]]
-    return tuple(unstack(a) for a in (t, tri, inst) + uv)
+    return tuple(unstack(a) for a in (t, tri, inst) + extra)
 
 
 def cast_rays_dual(scene: SceneArrays, origin, directions, interpret=None,
-                   wide: bool | None = None, occlusion: bool = False):
+                   wide: bool | None = None, occlusion: bool = False,
+                   want_normals: bool = False):
     """Nearest-hit query with the dual-tile interleaved kernel. Same
     Hit record and ray-layout handling as cast_rays_pallas. ``wide``
     pops 4-wide collapsed nodes (needs scene.wide4); defaults to wide
@@ -829,6 +831,15 @@ def cast_rays_dual(scene: SceneArrays, origin, directions, interpret=None,
         scene.has_textures and not occlusion
         and (env_uv == "1" if env_uv is not None else not interpret)
     )
+    # Face-normal carry (want_normals: the caller's lighting mode needs
+    # attrs.normal): 3 pure selects per tested row — bit-exact on every
+    # platform (no arithmetic) — but the LOCATION shortcut it unlocks
+    # (plane point from hit.t) shares carry_uv's interpret caveat, so
+    # it takes the same gate.
+    carry_n = (
+        want_normals and not occlusion
+        and (env_uv == "1" if env_uv is not None else not interpret)
+    )
     directions = jnp.asarray(directions, jnp.float32)
     origin = jnp.asarray(origin, jnp.float32)
     uniform_o = origin.ndim == 1
@@ -849,9 +860,9 @@ def cast_rays_dual(scene: SceneArrays, origin, directions, interpret=None,
             srcs = [(origin, 0), (origin, 1), (origin, 2)] + srcs
         tiled = tuple(_image_to_tiles(a[..., c]) for a, c in srcs)
         outs = _run_dual(scene, tiled, interpret, worigin, wide,
-                         occlusion, carry_uv)
+                         occlusion, carry_uv, carry_n)
         imgs = tuple(_tiles_to_image(a, h, w) for a in outs)
-        return Hit(*imgs)
+        return _hit_from_outs(Hit, imgs, carry_uv, carry_n)
 
     flat_d = directions.reshape(-1, 3)
     r = flat_d.shape[0]
@@ -870,6 +881,7 @@ def cast_rays_dual(scene: SceneArrays, origin, directions, interpret=None,
         srcs = [(flat_o, 0), (flat_o, 1), (flat_o, 2)] + srcs
     tiled = tuple(a[:, c].reshape(-1, TILE_S, TILE_L) for a, c in srcs)
     outs = _run_dual(scene, tiled, interpret, worigin, wide,
-                     occlusion, carry_uv)
+                     occlusion, carry_uv, carry_n)
     unpack = lambda a: a.reshape(-1)[:r].reshape(shape)
-    return Hit(*(unpack(a) for a in outs))
+    return _hit_from_outs(Hit, tuple(unpack(a) for a in outs),
+                          carry_uv, carry_n)

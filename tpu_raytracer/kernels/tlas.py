@@ -167,7 +167,7 @@ def build_tlas(scene: SceneArrays) -> TlasTables:
 
 
 def _tlas_kernel(with_stats, uniform_o, smem_codes, wide, tri_rows,
-                 occlusion, carry_uv, *refs):
+                 occlusion, carry_uv, carry_n, *refs):
     (
         inst_tab_ref,  # SMEM [I, 12] f32 quat/pos/inv_scale
         inst_root_ref,  # SMEM [I] i32 BLAS root node per instance
@@ -185,10 +185,11 @@ def _tlas_kernel(with_stats, uniform_o, smem_codes, wide, tri_rows,
         refs = refs[6:]
     tlas_nodef_ref, code_ref, nodef_ref, trif_ref = refs[:4]
     rest = refs[4:]
-    uv_out_refs = ()
-    if carry_uv:
-        uv_out_refs = rest[3:5]
-        rest = rest[:3] + rest[5:]
+    n_extra = (2 if carry_uv else 0) + (3 if carry_n else 0)
+    extra_out_refs = ()
+    if n_extra:
+        extra_out_refs = rest[3:3 + n_extra]
+        rest = rest[:3] + rest[3 + n_extra:]
     if with_stats:
         t_out_ref, tri_out_ref, inst_out_ref, pops_ref, tests_ref, smem_ref = rest
     else:
@@ -282,7 +283,8 @@ def _tlas_kernel(with_stats, uniform_o, smem_codes, wide, tri_rows,
         # ``i`` is TRACED here (TLAS leaves pick the instance at
         # runtime), so instance tracking is always on
         test_tri = make_test_tri((oox, ooy, ooz), (odx, ody, odz), i,
-                                 occlusion, carry_uv=carry_uv)
+                                 occlusion, carry_uv=carry_uv,
+                                 carry_n=carry_n)
 
         def popk_wide(sp, t_b):
             """4-WIDE BLAS pops (kernels/wide4.py popk with the BLAS
@@ -503,11 +505,8 @@ def _tlas_kernel(with_stats, uniform_o, smem_codes, wide, tri_rows,
         jnp.full((TILE_S, TILE_L), -1, jnp.int32),
         jnp.full((TILE_S, TILE_L), -1, jnp.int32),
     )
-    if carry_uv:
-        best = best + (
-            jnp.zeros((TILE_S, TILE_L), jnp.float32),
-            jnp.zeros((TILE_S, TILE_L), jnp.float32),
-        )
+    for _ in range(n_extra):
+        best = best + (jnp.zeros((TILE_S, TILE_L), jnp.float32),)
 
     def outer(c):
         sp, state, np_, nt_ = c
@@ -540,9 +539,8 @@ def _tlas_kernel(with_stats, uniform_o, smem_codes, wide, tri_rows,
     t_out_ref[0] = jnp.where(t_b >= BIG, _FLT_MAX, t_b)
     tri_out_ref[0] = tri_b
     inst_out_ref[0] = in_b
-    if carry_uv:
-        uv_out_refs[0][0] = best[3]
-        uv_out_refs[1][0] = best[4]
+    for e in range(n_extra):
+        extra_out_refs[e][0] = best[3 + e]
     if with_stats:
         zeros = jnp.zeros((TILE_S, TILE_L), jnp.int32)
         pops_ref[0] = zeros + n_pops
@@ -550,7 +548,8 @@ def _tlas_kernel(with_stats, uniform_o, smem_codes, wide, tri_rows,
 
 
 def _run_tlas(scene: SceneArrays, tables: TlasTables, tiled, interpret,
-              worigin=None, occlusion=False, carry_uv=False):
+              worigin=None, occlusion=False, carry_uv=False,
+              carry_n=False):
     uniform_o = worigin is not None
     if uniform_o:
         dx = tiled[0]
@@ -605,14 +604,15 @@ def _run_tlas(scene: SceneArrays, tables: TlasTables, tiled, interpret,
         )
     f32s = jax.ShapeDtypeStruct((n_tiles, TILE_S, TILE_L), jnp.float32)
     i32s = jax.ShapeDtypeStruct((n_tiles, TILE_S, TILE_L), jnp.int32)
+    n_extra = (2 if carry_uv else 0) + (3 if carry_n else 0)
     out_shape = (
         (f32s, i32s, i32s)
-        + ((f32s, f32s) if carry_uv else ())
+        + (f32s,) * n_extra
         + ((i32s, i32s) if with_stats else ())
     )
     kernel = functools.partial(
         _tlas_kernel, with_stats, uniform_o, smem_codes, wide,
-        trif.shape[0], occlusion, carry_uv,
+        trif.shape[0], occlusion, carry_uv, carry_n,
     )
     outs = pl.pallas_call(
         kernel,
@@ -626,10 +626,10 @@ def _run_tlas(scene: SceneArrays, tables: TlasTables, tiled, interpret,
         ),
         interpret=interpret,
     )(*inputs)
-    uv = ()
-    if carry_uv:
-        uv = outs[3:5]
-        outs = outs[:3] + outs[5:]
+    extra = ()
+    if n_extra:
+        extra = outs[3:3 + n_extra]
+        outs = outs[:3] + outs[3 + n_extra:]
     if with_stats:
         t, tri, inst, pops, tests = outs
         from .traversal import _LAST_STATS
@@ -638,11 +638,11 @@ def _run_tlas(scene: SceneArrays, tables: TlasTables, tiled, interpret,
         _LAST_STATS["tests"] = tests[:, 0, 0]
     else:
         t, tri, inst = outs
-    return (t, tri, inst) + uv
+    return (t, tri, inst) + extra
 
 
 def cast_rays_tlas(scene: SceneArrays, origin, directions, interpret=None,
-                   occlusion=False):
+                   occlusion=False, want_normals=False):
     """Nearest-hit query with the two-level TLAS/BLAS packet kernel.
     Requires scene.tlas (SceneArrays.with_tlas / Scene.compile). Same
     Hit record and ray-layout handling as cast_rays_pallas."""
@@ -658,6 +658,10 @@ def cast_rays_tlas(scene: SceneArrays, origin, directions, interpret=None,
     env_uv = _os.environ.get("TRT_CARRY_UV")
     carry_uv = (
         scene.has_textures and not occlusion
+        and (env_uv == "1" if env_uv is not None else not interpret)
+    )
+    carry_n = (
+        want_normals and not occlusion
         and (env_uv == "1" if env_uv is not None else not interpret)
     )
     directions = jnp.asarray(directions, jnp.float32)
@@ -680,8 +684,12 @@ def cast_rays_tlas(scene: SceneArrays, origin, directions, interpret=None,
             srcs = [(origin, 0), (origin, 1), (origin, 2)] + srcs
         tiled = tuple(_image_to_tiles(a[..., c]) for a, c in srcs)
         outs = _run_tlas(scene, tables, tiled, interpret, worigin,
-                         occlusion, carry_uv)
-        return Hit(*(_tiles_to_image(a, h, w) for a in outs))
+                         occlusion, carry_uv, carry_n)
+        from .traversal import _hit_from_outs
+        return _hit_from_outs(
+            Hit, tuple(_tiles_to_image(a, h, w) for a in outs),
+            carry_uv, carry_n,
+        )
 
     flat_d = directions.reshape(-1, 3)
     r = flat_d.shape[0]
@@ -700,6 +708,8 @@ def cast_rays_tlas(scene: SceneArrays, origin, directions, interpret=None,
         srcs = [(flat_o, 0), (flat_o, 1), (flat_o, 2)] + srcs
     tiled = tuple(a[:, c].reshape(-1, TILE_S, TILE_L) for a, c in srcs)
     outs = _run_tlas(scene, tables, tiled, interpret, worigin,
-                     occlusion, carry_uv)
+                     occlusion, carry_uv, carry_n)
+    from .traversal import _hit_from_outs
     unpack = lambda a: a.reshape(-1)[:r].reshape(shape)
-    return Hit(*(unpack(a) for a in outs))
+    return _hit_from_outs(Hit, tuple(unpack(a) for a in outs),
+                          carry_uv, carry_n)

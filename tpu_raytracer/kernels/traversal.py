@@ -142,7 +142,8 @@ LEAF_UNROLL = 8  # triangles tested per leaf-loop iteration (leaves avg ~12 at m
 assert LEAF_UNROLL == REC_PER_ROW
 
 
-def make_test_tri(oo, od, inst_val, occlusion=False, carry_uv=False):
+def make_test_tri(oo, od, inst_val, occlusion=False, carry_uv=False,
+                  carry_n=False):
     """Build the dense per-triangle test closure shared by ALL Pallas
     kernels (binary, 4-wide, dual, TLAS, paged): one triangle record
     against the whole ray tile (TrianglePrimitive.hpp:62-79, 151-169;
@@ -183,10 +184,11 @@ def make_test_tri(oo, od, inst_val, occlusion=False, carry_uv=False):
     queries need (raycast.cu:263-287's cast is also boolean)."""
     oox, ooy, ooz = oo
     odx, ody, odz = od
-    if carry_uv and occlusion:
-        raise ValueError("carry_uv is meaningless for occlusion casts")
+    if (carry_uv or carry_n) and occlusion:
+        raise ValueError("carried attributes are meaningless for "
+                         "occlusion casts")
 
-    def test_tri(rec, k, live, t_b, tri_b, in_b, *uv_b):
+    def test_tri(rec, k, live, t_b, tri_b, in_b, *extra_b):
         """``carry_uv``: two extra state tiles (u_b, v_b) follow
         (t, tri, inst) — the accepted triangle's barycentric u/v are
         selected alongside t at accept time (2 extra wide selects per
@@ -254,16 +256,40 @@ def make_test_tri(oo, od, inst_val, occlusion=False, carry_uv=False):
         out_t = jnp.where(ok, hit_t, t_b)
         out_tri = jnp.where(ok, k, tri_b)
         out_in = in_b if inst_val is None else jnp.where(ok, inst_val, in_b)
+        out = (out_t, out_tri, out_in)
+        i = 0
         if carry_uv:
-            u_b, v_b = uv_b
-            # u/v are [1, 128] rows only when BOTH the origin and the
-            # direction are row-shaped (never for real ray tiles); ok
-            # broadcasts the select up to the state tile shape
-            return (out_t, out_tri, out_in,
-                    jnp.where(ok, u, u_b), jnp.where(ok, v, v_b))
-        return out_t, out_tri, out_in
+            # ok broadcasts row-shaped u/v up to the state tile shape
+            out = out + (jnp.where(ok, u, extra_b[0]),
+                         jnp.where(ok, v, extra_b[1]))
+            i = 2
+        if carry_n:
+            # the face normal rows are ALREADY in registers (the plane
+            # test above used them) — carrying the accepted triangle's
+            # normal is 3 pure selects, bit-exact on every platform
+            # (no arithmetic), and lets lit shading modes skip the
+            # [T, 18] record gather in hit_attributes entirely
+            out = out + (jnp.where(ok, nx, extra_b[i]),
+                         jnp.where(ok, ny, extra_b[i + 1]),
+                         jnp.where(ok, nz, extra_b[i + 2]))
+        return out
 
     return test_tri
+
+
+def _hit_from_outs(Hit, outs, carry_uv, carry_n):
+    """Assemble a Hit record from a kernel's flat output tuple
+    (t, tri, inst[, u, v][, nx, ny, nz]) — shared by the dual and TLAS
+    cast wrappers."""
+    t, tri, inst = outs[:3]
+    i = 3
+    u = v = n = None
+    if carry_uv:
+        u, v = outs[i], outs[i + 1]
+        i += 2
+    if carry_n:
+        n = jnp.stack(outs[i:i + 3], axis=-1)
+    return Hit(t=t, tri=tri, inst=inst, u=u, v=v, n=n)
 
 
 def _quat_rot(qw, qx, qy, qz, vx, vy, vz):
@@ -1090,7 +1116,8 @@ def _bf16_default() -> bool:
 
 
 def cast_rays_pallas(scene: SceneArrays, origin, directions, interpret=None,
-                     frustum=None, bf16_box=None, occlusion=False):
+                     frustum=None, bf16_box=None, occlusion=False,
+                     want_normals=False):
     """Nearest-hit query with the packet kernel. Accepts [H, W, 3]
     directions (tiled as PIX_H x PIX_W coherent pixel blocks) or flat
     [..., 3] (chunked linearly). Returns the same Hit record as the XLA
@@ -1138,7 +1165,8 @@ def cast_rays_pallas(scene: SceneArrays, origin, directions, interpret=None,
         from .tlas import cast_rays_tlas
 
         return cast_rays_tlas(scene, origin, directions,
-                              interpret=interpret, occlusion=occlusion)
+                              interpret=interpret, occlusion=occlusion,
+                              want_normals=want_normals)
     if (
         scene.wide4 is not None
         and _wide4_default()
@@ -1152,7 +1180,8 @@ def cast_rays_pallas(scene: SceneArrays, origin, directions, interpret=None,
         from .dual import cast_rays_dual
 
         return cast_rays_dual(scene, origin, directions,
-                              interpret=interpret, occlusion=occlusion)
+                              interpret=interpret, occlusion=occlusion,
+                              want_normals=want_normals)
     directions = jnp.asarray(directions, jnp.float32)
     origin = jnp.asarray(origin, jnp.float32)
     # Static uniform-origin detection: generate_rays returns a single

@@ -35,7 +35,8 @@ def make_mesh(n_devices: int | None = None, axis: str = "rays") -> Mesh:
 
 def _shard_body(config: RenderConfig, scene: SceneArrays, origin, directions):
     """Per-chip slice of the render pipeline (runs under shard_map)."""
-    cast = get_cast_fn(config.backend)
+    cast = get_cast_fn(config.backend,
+                       want_normals=config.lighting != "flat")
     hit = cast(scene, origin, directions)
     attrs = hit_attributes(scene, origin, directions, hit, exact=config.exact_math)
     return shade_primary(

@@ -126,7 +126,7 @@ def render_whitted(
     env = os.environ.get("TRT_WHITTED_RETILE")
     if env is not None:
         retile_secondary = env != "0"
-    cast = get_cast_fn(backend)
+    cast = get_cast_fn(backend, want_normals=True)
     cast2 = _secondary_cast_fn(cast, backend, sort_secondary)
     occ_cast = occlusion_cast_fn(backend)
     directions = jnp.asarray(directions, jnp.float32)
@@ -287,7 +287,7 @@ def render_path_traced(
     shadow/reflection casts, which stay unsorted). Returns float
     [..., 3].
     """
-    cast = get_cast_fn(backend)
+    cast = get_cast_fn(backend, want_normals=True)
     cast2 = _secondary_cast_fn(cast, backend, sort_secondary)
     occ_cast = occlusion_cast_fn(backend)
     nee = light_direction is not None or bool(point_lights)
@@ -431,8 +431,8 @@ def render_ao(
     Occlusion queries are DISTANCE-BOUNDED (hit counts only if
     t < radius), so they use the nearest-hit cast, not the unbounded
     any-hit shadow cast (renderer.occlusion_cast_fn docstring)."""
-    cast = get_cast_fn(backend)
-    cast2 = _secondary_cast_fn(cast, backend, False)
+    cast = get_cast_fn(backend, want_normals=True)
+    cast2 = _secondary_cast_fn(get_cast_fn(backend), backend, False)
     directions = jnp.asarray(directions, jnp.float32)
     origin = jnp.broadcast_to(jnp.asarray(origin, jnp.float32), directions.shape)
     shape = directions.shape[:-1]

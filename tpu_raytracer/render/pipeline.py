@@ -96,7 +96,8 @@ def render_image(
             cfg.width, cfg.height, K_inv_b, D, pose, inv_pose,
             exact=cfg.exact_math,
         )
-        cast = get_cast_fn(cfg.backend)
+        cast = get_cast_fn(cfg.backend,
+                           want_normals=cfg.lighting != "flat")
         hit = cast(scene, origin, directions)
         attrs = hit_attributes(
             scene, origin, directions, hit, exact=cfg.exact_math
@@ -132,7 +133,7 @@ def render_aovs(
         config.width, config.height, K_inv, D, pose, inv_pose,
         exact=config.exact_math,
     )
-    cast = get_cast_fn(config.backend)
+    cast = get_cast_fn(config.backend, want_normals=True)
     hit = cast(scene, origin, directions)
     attrs = hit_attributes(
         scene, origin, directions, hit, exact=config.exact_math
@@ -314,7 +315,8 @@ def render_image_path_traced(
             # 1/(S*B+1) cost next to the sample loop above
             from .denoise import atrous_denoise
 
-            hit = get_cast_fn(cfg.backend)(scene, origin, directions)
+            hit = get_cast_fn(cfg.backend, want_normals=True)(
+                scene, origin, directions)
             attrs = hit_attributes(
                 scene, origin, directions, hit, exact=cfg.exact_math
             )

@@ -58,6 +58,10 @@ class Hit(NamedTuple):
     inst: jax.Array
     u: jax.Array | None = None
     v: jax.Array | None = None
+    # object-space face normal [..., 3] of the accepted triangle —
+    # carried on request (want_normals) by the same kernels; pure
+    # selects of record rows, so bit-identical to the tri_normal gather
+    n: jax.Array | None = None
 
 
 def _instance_object_ray(scene: SceneArrays, i, origin, direction):
@@ -249,33 +253,49 @@ def hit_attributes(
     obj_dir = T.apply_euler(inst_pose[..., 3:6], directions) * inv_scale
     obj_org = T.apply_lre(inst_pose, origin) * inv_scale
 
-    if hit.u is not None:
-        # Kernel-carried barycentrics (Hit.u/v, Pallas kernels on
-        # textured scenes): the uv chain collapses to ONE [T, 6]
-        # uv-row gather + the reference's interpolation — no
-        # object-space redo. TPU gathers cost per ELEMENT (PERF_LOG
-        # r3: attrs was ~36 gathered elements/ray and the wall on
-        # textured scenes); this path is ~7. Bit-exact: u/v are the
-        # oracle's (shared affine rows), and the interpolation below
-        # is point_in_triangle_uv's exact expression.
-        uvpack = jnp.concatenate(
-            [scene.tri_uv0, scene.tri_uv1, scene.tri_uv2], axis=1
-        )
-        uvr = uvpack[tri]
-        u = hit.u
-        v = hit.v
-        w = 1.0 - u - v
-        uv = (
-            w[..., None] * uvr[..., 0:2] + v[..., None] * uvr[..., 2:4]
-            + u[..., None] * uvr[..., 4:6]
-        )
+    carried = hit.u is not None or hit.n is not None
+    if carried:
+        # Kernel-carried hit attributes (Hit.u/v on textured scenes,
+        # Hit.n when the caller wants normals): each chain collapses to
+        # at most one narrow gather. TPU gathers cost per ELEMENT
+        # (PERF_LOG r3: attrs was ~36 gathered elements/ray and the
+        # wall on textured scenes). Bit-exact on TPU: u/v are the
+        # oracle's (shared affine rows), n is a pure record select,
+        # and the interpolation below is point_in_triangle_uv's exact
+        # expression.
+        if hit.u is not None:
+            uvpack = jnp.concatenate(
+                [scene.tri_uv0, scene.tri_uv1, scene.tri_uv2], axis=1
+            )
+            uvr = uvpack[tri]
+            u = hit.u
+            v = hit.v
+            w = 1.0 - u - v
+            uv = (
+                w[..., None] * uvr[..., 0:2] + v[..., None] * uvr[..., 2:4]
+                + u[..., None] * uvr[..., 4:6]
+            )
         # hit.t IS the plane parameter on accepted lanes (kernel t ==
         # ray_plane_hit's t bit-for-bit, v17 notes), so the plane redo
-        # drops too; same point formula as ray_plane_hit. Misses keep
+        # drops; same point formula as ray_plane_hit. Misses keep
         # finite garbage (t clamped to 0) like the redo produced.
         tp = jnp.where(ok, hit.t, 0.0)
         point = obj_org + tp[..., None] * obj_dir
-        tnormal = scene.tri_normal[tri]
+        tnormal = hit.n if hit.n is not None else scene.tri_normal[tri]
+        if hit.u is None:
+            # normals carried but no carried uv (untextured scene):
+            # derive uv by the redo for any consumer that wants it
+            # (the uv AOV); XLA DCEs this whole chain when unused
+            # (untextured shading never reads uv)
+            uvrec = jnp.concatenate(
+                [scene.tri_v0, scene.tri_v1, scene.tri_v2,
+                 scene.tri_uv0, scene.tri_uv1, scene.tri_uv2], axis=1
+            )[tri]
+            uv, _ = point_in_triangle_uv(
+                obj_org, obj_dir, tp, uvrec[..., 0:3], uvrec[..., 3:6],
+                uvrec[..., 6:9], uvrec[..., 9:11], uvrec[..., 11:13],
+                uvrec[..., 13:15],
+            )
     else:
         # ONE wide row gather instead of 7 separate table gathers (TPU
         # gathers are expensive per-op; the [T, 18] concat is a cheap
@@ -370,10 +390,17 @@ def occlusion_cast_fn(backend: str):
     return cast
 
 
-def get_cast_fn(backend: str):
+def get_cast_fn(backend: str, want_normals: bool = False):
+    """``want_normals``: the caller's shading mode reads attrs.normal
+    (any non-flat lighting, bounce integrators, AOVs) — kernel-backed
+    casts then carry the accepted triangle's face normal on Hit.n so
+    hit_attributes skips the triangle-record gather. Backends without
+    the carry ignore the request (attrs falls back to the redo)."""
     if backend == "pallas":
         from ..kernels.traversal import cast_rays_pallas
 
+        if want_normals:
+            return functools.partial(cast_rays_pallas, want_normals=True)
         return cast_rays_pallas
     if backend == "paged":
         return _cast_rays_paged_auto

@@ -115,7 +115,9 @@ def cast_rays_sorted(cast_fn, scene, origin, directions):
 
     unscatter = lambda a: (
         None if a is None
-        else jnp.zeros_like(a).at[order].set(a).reshape(shape)
+        else jnp.zeros_like(a).at[order].set(a).reshape(
+            shape + a.shape[1:]  # Hit.n carries a trailing [3]
+        )
     )
     return Hit(*(unscatter(a) for a in hit))
 
