@@ -281,6 +281,16 @@ def main():
                          "(raycast.cu:224-240); bilinear = smooth "
                          "framework extension")
     args = ap.parse_args()
+    if args.mode == "path":
+        # Measured r3 (colonnade path fly-through, v5e): 2048-ray
+        # packets beat the 4096 primary-tuned default by ~10% on
+        # bounce-dominated frames (PERF_LOG "path packet sweep" +
+        # adoption A/B: 5.47 -> 6.00 fps). Packet geometry is read at
+        # kernels import (lazy — first cast), so setting it here works;
+        # an explicit TRT_PIX_H always wins.
+        import os
+
+        os.environ.setdefault("TRT_PIX_H", "32")
     plights = tuple(
         tuple(float(v) for v in spec.split(","))
         for spec in args.point_light
