@@ -11,7 +11,10 @@ write out.png with the FPS overlay (kernel.cu:30-43).
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
+import warnings
 
 import jax
 import numpy as np
@@ -85,6 +88,21 @@ def run(
     ``animate`` spins instance 0 (the reference's disabled teapot spin,
     kernel.cu:272-273).
     """
+    if mode == "path":
+        # Measured r3: 2048-ray packets beat the 4096 primary-tuned
+        # default ~10% on bounce-dominated frames (PERF_LOG "path packet
+        # sweep"). Packet geometry is read at kernels import time, so
+        # this only works for the first render in a process; warn
+        # programmatic callers who imported the kernels already.
+        if "tpu_raytracer.kernels.traversal" not in sys.modules:
+            os.environ.setdefault("TRT_PIX_H", "32")
+        elif os.environ.get("TRT_PIX_H") != "32":
+            warnings.warn(
+                "run(mode='path'): kernels already imported with the "
+                "primary-tuned packet geometry; set TRT_PIX_H=32 before "
+                "the first kernel import for the tuned path-mode packets",
+                stacklevel=2,
+            )
     if backend is None:
         backend = "pallas" if jax.default_backend() == "tpu" else "bvh"
 
@@ -281,16 +299,8 @@ def main():
                          "(raycast.cu:224-240); bilinear = smooth "
                          "framework extension")
     args = ap.parse_args()
-    if args.mode == "path":
-        # Measured r3 (colonnade path fly-through, v5e): 2048-ray
-        # packets beat the 4096 primary-tuned default by ~10% on
-        # bounce-dominated frames (PERF_LOG "path packet sweep" +
-        # adoption A/B: 5.47 -> 6.00 fps). Packet geometry is read at
-        # kernels import (lazy — first cast), so setting it here works;
-        # an explicit TRT_PIX_H always wins.
-        import os
-
-        os.environ.setdefault("TRT_PIX_H", "32")
+    # (path-mode packet geometry is applied inside run(); an explicit
+    # TRT_PIX_H env always wins.)
     plights = tuple(
         tuple(float(v) for v in spec.split(","))
         for spec in args.point_light
