@@ -81,6 +81,24 @@ def config_bunny():
     _report("3 bunny 82k-tri 1080p", cam, timed(lambda: render_image(*args)))
 
 
+def config_bunny_fisheye():
+    from tpu_raytracer.app import scenes
+    from tpu_raytracer.render import Camera, RenderConfig, render_image
+    from tpu_raytracer.render.camera import reference_calibration
+
+    # config 3 through the reference's REAL fisheye calibration
+    # (kernel.cu:158-164): D != 0 exercises the Kannala-Brandt
+    # polynomial (raycast.cu:165-177) in the recorded bench surface
+    arrays, cam = scenes.scene_bunny()
+    K, D = reference_calibration(cam.width, cam.height)
+    cam = Camera(cam.width, cam.height, K, D, pose=cam.pose)
+    cfg = RenderConfig(cam.width, cam.height, backend=_backend())
+    p = cam.ray_params()
+    args = (cfg, arrays, p["K_inv"], p["D"], p["pose"], p["inv_pose"])
+    _report("3f bunny 1080p real-fisheye K/D", cam,
+            timed(lambda: render_image(*args)))
+
+
 def config_instances():
     from tpu_raytracer.app import scenes
     from tpu_raytracer.render import RenderConfig, render_image_whitted
@@ -189,6 +207,7 @@ CONFIGS = {
     "cube": config_cube,
     "cornell": config_cornell,
     "bunny": config_bunny,
+    "bunny_fisheye": config_bunny_fisheye,
     "instances": config_instances,
     "instances_flat": config_instances_flat,
     "instances16": config_instances16,

@@ -20,6 +20,7 @@ import jax
 import numpy as np
 
 from ..render import Camera, RenderConfig
+from ..render.camera import reference_calibration
 from ..render.pipeline import render_image
 from ..render.shade import DEFAULT_LIGHT_DIRECTION
 from ..scene import Material, MeshInstance, MeshPrimitive, Scene, objloader, procgen
@@ -78,6 +79,7 @@ def run(
     exposure: float = 1.0,
     denoise: int = 0,
     ao_radius: float = 1.0,
+    calib: bool = False,
 ):
     """The render loop (kernel.cu:266-296): N timed frames, FPS printed
     per frame, final frame saved with the FPS overlay.
@@ -111,19 +113,10 @@ def run(
         if sky == "gradient":
             scene.set_sky(procgen.sky_gradient_texture())
         arrays = scene.compile()
-        # Real fisheye calibration from the reference (kernel.cu:158-164)
-        D = np.array(
-            [0.016233999489849514, -0.013875757716177956,
-             0.03264329940126211, -0.019561619947134234],
-            np.float32,
-        )
-        K = np.array(
-            [[862.097835972576, 0.0, 998.1702383680802],
-             [0.0, 862.1368447300727, 569.6759403225842],
-             [0.0, 0.0, 1.0]],
-            np.float32,
-        ) if (width, height) == (1920, 1088) else None
-        if K is not None:
+        # Real fisheye calibration from the reference (kernel.cu:158-164),
+        # exact at the native 1920-wide resolution, K rescaled otherwise.
+        if calib or (width, height) == (1920, 1088):
+            K, D = reference_calibration(width, height)
             camera = Camera(width, height, K, D)
         else:
             camera = Camera.looking(width, height, fov_deg=60.0)
@@ -135,6 +128,9 @@ def run(
             if scene_name != "cube" and scene_name != "cornell" \
             else SCENES[scene_name](min(width, height))
         width, height = camera.width, camera.height
+        if calib:
+            K, D = reference_calibration(width, height)
+            camera = Camera(width, height, K, D, pose=camera.pose)
     if backend in ("paged", "paged_major"):
         # force-page small scenes too; big scenes already carry tables
         # (Scene.compile auto-attaches beyond the VMEM budget)
@@ -254,6 +250,11 @@ def main():
                     help="animated camera fly-through")
     ap.add_argument("--out", default="out.png")
     ap.add_argument("--no-animate", action="store_true")
+    ap.add_argument("--calib", action="store_true",
+                    help="use the reference app's real fisheye K/D "
+                         "(kernel.cu:158-164; D != 0 exercises the full "
+                         "Kannala-Brandt polynomial, raycast.cu:165-177), "
+                         "K rescaled to the requested resolution")
     ap.add_argument(
         "--point-light", action="append", default=[], metavar="X,Y,Z[,I]",
         help="add a point light at X,Y,Z with intensity I (default 100); "
@@ -315,7 +316,7 @@ def main():
         lens_radius=args.lens_radius, focus_distance=args.focus_distance,
         path_lights=args.path_lights,
         tonemap=args.tonemap, exposure=args.exposure,
-        denoise=args.denoise, ao_radius=args.ao_radius,
+        denoise=args.denoise, ao_radius=args.ao_radius, calib=args.calib,
     )
 
 

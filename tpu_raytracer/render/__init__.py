@@ -1,4 +1,9 @@
-from .camera import Camera, default_intrinsics, generate_rays
+from .camera import (
+    Camera,
+    default_intrinsics,
+    generate_rays,
+    reference_calibration,
+)
 from .pipeline import (
     RenderConfig,
     render,
@@ -30,6 +35,7 @@ __all__ = [
     "generate_rays",
     "get_cast_fn",
     "hit_attributes",
+    "reference_calibration",
     "render",
     "render_aovs",
     "render_image",

@@ -41,6 +41,37 @@ def default_intrinsics(width: int, height: int, fov_deg: float = 60.0):
     )
 
 
+#: The reference app's real fisheye calibration (kernel.cu:158-164):
+#: a 1920x1080 Kannala-Brandt camera with nonzero distortion — the one
+#: workload that exercises the full thetad polynomial (raycast.cu:165-177).
+REFERENCE_K = np.array(
+    [[862.097835972576, 0.0, 998.1702383680802],
+     [0.0, 862.1368447300727, 569.6759403225842],
+     [0.0, 0.0, 1.0]],
+    np.float32,
+)
+REFERENCE_D = np.array(
+    [0.016233999489849514, -0.013875757716177956,
+     0.03264329940126211, -0.019561619947134234],
+    np.float32,
+)
+REFERENCE_CALIB_SIZE = (1920, 1080)
+
+
+def reference_calibration(width: int = 1920, height: int = 1080):
+    """The reference's real fisheye K/D (kernel.cu:158-164), with K
+    rescaled from its native 1920x1080 to ``width x height`` (fx/cx by
+    the width ratio, fy/cy by the height ratio — D is resolution
+    independent, it acts on normalized K_inv coordinates). At the native
+    resolution this is bit-identical to the reference's literals."""
+    rw = width / REFERENCE_CALIB_SIZE[0]
+    rh = height / REFERENCE_CALIB_SIZE[1]
+    K = REFERENCE_K * np.array(
+        [[rw, 1.0, rw], [1.0, rh, rh], [1.0, 1.0, 1.0]], np.float64
+    )
+    return K.astype(np.float32), REFERENCE_D.copy()
+
+
 @dataclasses.dataclass
 class Camera:
     """Host-side camera (Camera.h:10-30). ``pose`` is an lre array; it is
