@@ -80,6 +80,7 @@ def run(
     denoise: int = 0,
     ao_radius: float = 1.0,
     calib: bool = False,
+    normal_mode: str = "reference",
 ):
     """The render loop (kernel.cu:266-296): N timed frames, FPS printed
     per frame, final frame saved with the FPS overlay.
@@ -150,6 +151,7 @@ def run(
         point_lights=plights, texture_filter=texture_filter,
         ssaa=ssaa, path_lights=path_lights,
         tonemap=tonemap, exposure=exposure, denoise=denoise,
+        normal_mode=normal_mode,
     )
     key = jax.random.PRNGKey(0)
     fps = 0.0
@@ -250,6 +252,12 @@ def main():
                     help="animated camera fly-through")
     ap.add_argument("--out", default="out.png")
     ap.add_argument("--no-animate", action="store_true")
+    ap.add_argument("--normal-mode", default="reference",
+                    choices=["reference", "inverse_transpose"],
+                    help="normal transform under instance scale: "
+                         "reference = raycast.cu:115-122 parity (wrong "
+                         "for nonuniform scale); inverse_transpose = "
+                         "the correct R diag(1/s) transform")
     ap.add_argument("--calib", action="store_true",
                     help="use the reference app's real fisheye K/D "
                          "(kernel.cu:158-164; D != 0 exercises the full "
@@ -317,6 +325,7 @@ def main():
         path_lights=args.path_lights,
         tonemap=args.tonemap, exposure=args.exposure,
         denoise=args.denoise, ao_radius=args.ao_radius, calib=args.calib,
+        normal_mode=args.normal_mode,
     )
 
 

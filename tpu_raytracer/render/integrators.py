@@ -104,6 +104,7 @@ def render_whitted(
     sort_secondary: bool = False,
     retile_secondary: bool = False,
     tex_filter: str = "nearest",
+    normal_mode: str = "reference",
 ) -> jax.Array:
     """Whitted-style recursive reflections, iteratively unrolled.
 
@@ -141,7 +142,8 @@ def render_whitted(
     o, d = origin, directions
     for bounce in range(max_bounces + 1):
         hit = (cast if bounce == 0 else cast2)(scene, o, d)
-        attrs = hit_attributes(scene, o, d, hit, exact=exact)
+        attrs = hit_attributes(scene, o, d, hit, exact=exact,
+                               normal_mode=normal_mode)
 
         if bounce == 0 and retile_secondary and max_bounces > 0:
             # bucket by hit instance (major) then hit-point morton:
@@ -247,6 +249,7 @@ def render_path_traced(
     light_direction=None,
     point_lights: tuple = (),
     sun_intensity: float = 1.0,
+    normal_mode: str = "reference",
 ) -> jax.Array:
     """Monte-Carlo path tracing (the stochastic bounce design the
     reference's curand setup anticipated, raycast.cu:190-193).
@@ -353,7 +356,7 @@ def render_path_traced(
     if not dof:
         attrs0 = hit_attributes(
             scene, origin, directions, cast(scene, origin, directions),
-            exact=exact,
+            exact=exact, normal_mode=normal_mode,
         )
     else:
         # lens basis perpendicular to the mean view axis
@@ -390,7 +393,8 @@ def render_path_traced(
         )
         if dof:
             a0 = hit_attributes(
-                scene, o0, d0, cast(scene, o0, d0), exact=exact
+                scene, o0, d0, cast(scene, o0, d0), exact=exact,
+                normal_mode=normal_mode,
             )
         else:
             a0 = attrs0
@@ -398,7 +402,8 @@ def render_path_traced(
         for b in range(1, max_bounces + 1):
             o, d = state[0], state[1]
             hit = cast2(scene, o, d)
-            attrs = hit_attributes(scene, o, d, hit, exact=exact)
+            attrs = hit_attributes(scene, o, d, hit, exact=exact,
+                                   normal_mode=normal_mode)
             state = bounce_from_attrs(state, attrs, keys[b])
         radiance = state[3]
         return carry + radiance, None
@@ -420,6 +425,7 @@ def render_ao(
     radius: float = 1.0,
     backend: str = "bvh",
     exact: bool = True,
+    normal_mode: str = "reference",
 ) -> jax.Array:
     """Ambient occlusion: the fraction of the cosine-weighted
     hemisphere above each primary hit that is unoccluded within
@@ -439,7 +445,7 @@ def render_ao(
 
     attrs = hit_attributes(
         scene, origin, directions, cast(scene, origin, directions),
-        exact=exact,
+        exact=exact, normal_mode=normal_mode,
     )
 
     def one_sample(acc, k):

@@ -59,6 +59,11 @@ class RenderConfig:
     # effective radius ~2^n pixels). Guided by first-hit normal/depth;
     # applied in HDR space ahead of tonemap (denoise.atrous_denoise).
     denoise: int = 0
+    # Normal transform under instance scale: "reference" keeps the
+    # reference's rotate-then-multiply-by-scale (raycast.cu:115-122,
+    # wrong under nonuniform scale, parity default); "inverse_transpose"
+    # is the correct R diag(1/s) transform (SURVEY §7 step 4).
+    normal_mode: str = "reference"
 
 
 def _with_ssaa(config: RenderConfig, K_inv, body):
@@ -100,7 +105,8 @@ def render_image(
                            want_normals=cfg.lighting != "flat")
         hit = cast(scene, origin, directions)
         attrs = hit_attributes(
-            scene, origin, directions, hit, exact=cfg.exact_math
+            scene, origin, directions, hit, exact=cfg.exact_math,
+            normal_mode=cfg.normal_mode,
         )
         return shade_primary(
             scene, attrs, cfg.light_direction, cfg.lighting,
@@ -136,7 +142,8 @@ def render_aovs(
     cast = get_cast_fn(config.backend, want_normals=True)
     hit = cast(scene, origin, directions)
     attrs = hit_attributes(
-        scene, origin, directions, hit, exact=config.exact_math
+        scene, origin, directions, hit, exact=config.exact_math,
+        normal_mode=config.normal_mode,
     )
     miss_i = jnp.int32(-1)
     return {
@@ -206,6 +213,7 @@ def render_image_whitted(
             light_direction=cfg.light_direction,
             point_lights=cfg.point_lights, shadows=shadows,
             exact=cfg.exact_math, tex_filter=cfg.texture_filter,
+            normal_mode=cfg.normal_mode,
         )
         return to_u8(tonemap(radiance, cfg.tonemap, cfg.exposure))
 
@@ -237,6 +245,7 @@ def render_image_ao(
         ao = render_ao(
             scene, origin, directions, key, samples=samples,
             radius=radius, backend=cfg.backend, exact=cfg.exact_math,
+            normal_mode=cfg.normal_mode,
         )
         return to_u8(jnp.broadcast_to(ao[..., None], ao.shape + (3,)))
 
@@ -275,6 +284,7 @@ def render_radiance_path_traced(
         light_direction=config.light_direction if config.path_lights else None,
         point_lights=config.point_lights if config.path_lights else (),
         sun_intensity=config.sun_intensity,
+        normal_mode=config.normal_mode,
     )
 
 
@@ -309,6 +319,7 @@ def render_image_path_traced(
             light_direction=cfg.light_direction if cfg.path_lights else None,
             point_lights=cfg.point_lights if cfg.path_lights else (),
             sun_intensity=cfg.sun_intensity,
+            normal_mode=cfg.normal_mode,
         )
         if cfg.denoise > 0:
             # one extra primary cast for the normal/depth guides — a
@@ -318,7 +329,8 @@ def render_image_path_traced(
             hit = get_cast_fn(cfg.backend, want_normals=True)(
                 scene, origin, directions)
             attrs = hit_attributes(
-                scene, origin, directions, hit, exact=cfg.exact_math
+                scene, origin, directions, hit, exact=cfg.exact_math,
+                normal_mode=cfg.normal_mode,
             )
             radiance = atrous_denoise(
                 radiance,

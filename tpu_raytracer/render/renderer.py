@@ -228,11 +228,19 @@ class HitAttributes(NamedTuple):
 
 
 def hit_attributes(
-    scene: SceneArrays, origin, directions, hit: Hit, exact: bool = True
+    scene: SceneArrays, origin, directions, hit: Hit, exact: bool = True,
+    normal_mode: str = "reference",
 ) -> HitAttributes:
     """Reconstruct shading inputs from (t, tri, inst): re-runs the
     plane/barycentric math once for the selected triangle per ray and
-    applies the world-space transforms of raycast.cu:98-124."""
+    applies the world-space transforms of raycast.cu:98-124.
+
+    ``normal_mode``: "reference" multiplies the rotated normal by the
+    instance scale (raycast.cu:115-122) — correct only for uniform
+    scale, preserved as the parity default. "inverse_transpose" applies
+    the mathematically correct normal transform for the object->world
+    map M = R diag(s): n_w = normalize(R (n_o / s)) (SURVEY.md §7
+    step 4's ordered fix)."""
     directions = jnp.asarray(directions, jnp.float32)
     origin = jnp.broadcast_to(jnp.asarray(origin, jnp.float32), directions.shape)
     ok = hit.t < FLT_MAX
@@ -313,11 +321,21 @@ def hit_attributes(
             rec[..., 12:14], rec[..., 14:16], rec[..., 16:18],
         )
     location = T.apply_lre(inst_inv_pose, point * scale)
-    # World normal: reference multiplies by scale (raycast.cu:115-122);
-    # correct for uniform scale, preserved for parity.
-    normal = normalize(
-        T.apply_euler(inst_inv_pose[..., 3:6], tnormal) * scale, exact=exact
-    )
+    if normal_mode == "inverse_transpose":
+        # (R diag(s))^-T = R diag(1/s): scale in OBJECT axes, then
+        # rotate — correct under nonuniform scale.
+        normal = normalize(
+            T.apply_euler(inst_inv_pose[..., 3:6], tnormal * inv_scale),
+            exact=exact,
+        )
+    else:
+        # World normal: reference multiplies the rotated normal by
+        # scale in world axes (raycast.cu:115-122); correct only for
+        # uniform scale, preserved for parity.
+        normal = normalize(
+            T.apply_euler(inst_inv_pose[..., 3:6], tnormal) * scale,
+            exact=exact,
+        )
     # per-triangle material override (flattened static scenes bake the
     # source instance's material into tri_mat; -1 = resolve via inst)
     tmat = scene.tri_mat[tri]
