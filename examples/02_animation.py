@@ -25,8 +25,9 @@ scene.add_mesh(objloader.loads(procgen.cube_obj()))
 scene.add_mesh_instance(MeshInstance(0, 0))
 arrays = scene.compile()
 
-camera = Camera.looking(128, 128, fov_deg=50.0, pose=[0, -4, 0, 0, 0, 0])
-config = RenderConfig(width=128, height=128, backend="bvh")
+S = int(os.environ.get("TRT_EXAMPLE_SIZE", "128"))  # CI shrinks to 64
+camera = Camera.looking(S, S, fov_deg=50.0, pose=[0, -4, 0, 0, 0, 0])
+config = RenderConfig(width=S, height=S, backend="bvh")
 p = camera.ray_params()
 
 for frame in range(5):

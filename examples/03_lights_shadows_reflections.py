@@ -34,9 +34,10 @@ floor.pose = np.array([0, 0, -1.2, 0, -np.pi / 2, 0], np.float32)
 scene.add_mesh_instance(floor)
 arrays = scene.compile()
 
-camera = Camera.looking(192, 192, fov_deg=55.0, pose=[0, -5, 1.0, 0, -0.15, 0])
+S = int(os.environ.get("TRT_EXAMPLE_SIZE", "192"))  # CI shrinks to 64
+camera = Camera.looking(S, S, fov_deg=55.0, pose=[0, -5, 1.0, 0, -0.15, 0])
 config = RenderConfig(
-    width=192, height=192, backend="bvh", lighting="lambert_shadow",
+    width=S, height=S, backend="bvh", lighting="lambert_shadow",
     point_lights=(PointLight(position=(2.0, -2.0, 4.0), intensity=40.0),),
 )
 p = camera.ray_params()

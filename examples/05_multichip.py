@@ -25,7 +25,7 @@ from tpu_raytracer.parallel import make_mesh, render_image_sharded
 from tpu_raytracer.render import RenderConfig
 from tpu_raytracer.utils import save_png
 
-arrays, camera = scene_cube(128)
+arrays, camera = scene_cube(int(os.environ.get("TRT_EXAMPLE_SIZE", "128")))
 mesh = make_mesh(8)  # 1-D mesh over all devices; image rows = DP axis
 config = RenderConfig(width=camera.width, height=camera.height, backend="bvh")
 p = camera.ray_params()
