@@ -98,6 +98,32 @@ LEAF_ACC = os.environ.get("TRT_LEAF_ACC", "0") == "1"
 # max(nlA, nlB) (TRT_DRAIN_FUSED=1). A/B knob, see leaf_drain_fused.
 DRAIN_FUSED = os.environ.get("TRT_DRAIN_FUSED", "0") == "1"
 
+# Software-pipelined wide pops (TRT_DUAL_PIPE=1): the NEXT sync's
+# record fetches (dyn-sublane row load + masked broadcast extraction —
+# the longest vector chain in the pop phase) issue right after the
+# scalar phase commits the new stack tops, BEFORE the leaf drains; the
+# records ride the while carry and the box tests run at the next body's
+# start against the drain-updated t — the same t the unpipelined kernel
+# uses, so traversal decisions and results are bit-identical.
+PIPE = os.environ.get("TRT_DUAL_PIPE", "0") == "1"
+
+# Pack the two tiles' j-th sync words into ONE SMEM word
+# (TRT_PACK_WORDS=1): halves the vector->SMEM stores the scalar phase's
+# combined stall waits on (wide words are 11 bits: 3-bit hit count +
+# four 2-bit ranks; tile A in the low half, tile B << 16).
+PACK_WORDS = os.environ.get("TRT_PACK_WORDS", "0") == "1"
+
+# Tiles traversed per grid step (the "dual" in the kernel name is the
+# default 2). Raising WAVES with a SMALLER packet (TRT_PIX_H/W) keeps
+# the sync amortization of a big grid step while shrinking each
+# traversal's node union — the lever VERDICT r3 called for on
+# incoherent secondary casts: e.g. 32x32 packets (1024 rays, one vreg
+# per VPU op) x 4 waves = the same 4096 rays/step as the flagship's
+# 64x64 x 2, but four independent stacks whose unions don't pollute
+# each other. Box/leaf tests also shrink to the (TILE_S, 128) slice.
+WAVES = int(os.environ.get("TRT_DUAL_WAVES", "2"))
+assert not (PACK_WORDS and WAVES != 2), "TRT_PACK_WORDS packs tile PAIRS"
+
 # Per-tile stack size. Wide mode needs far more than the binary
 # kernel's 64: a 4-wide pop pushes up to 4 children (net +3 per level,
 # vs +1 binary) and POP_K=2 adds up to +6 transiently — an overflow
@@ -108,14 +134,14 @@ def _stack_sz(wide: bool) -> int:
     return 192 if wide else STACK_SIZE
 
 
-# SMEM layout: stack A | stack B | 2*POP_K code slots | 2*POP_K push
-# words | (wide only) two per-tile compacted leaf lists of 4*POP_K
+# SMEM layout: WAVES stacks | WAVES*POP_K code slots | WAVES*POP_K push
+# words | (wide only) WAVES per-tile compacted leaf lists of 4*POP_K
 # (start, count) pairs each.
 def _smem_layout(wide: bool):
     s = _stack_sz(wide)
-    leaf0 = 2 * s + 4 * POP_K
-    total = leaf0 + (16 * POP_K if wide else 0)
-    return 2 * s, 2 * s + 2 * POP_K, leaf0, total
+    leaf0 = WAVES * s + 2 * WAVES * POP_K
+    total = leaf0 + (8 * WAVES * POP_K if wide else 0)
+    return WAVES * s, WAVES * s + WAVES * POP_K, leaf0, total
 
 
 def _dual_kernel(num_instances, with_stats, uniform_o, smem_codes,
@@ -174,10 +200,10 @@ def _dual_kernel(num_instances, with_stats, uniform_o, smem_codes,
 
     # per-tile ray component tiles: [2][3] of [TILE_S, 128]
     dirs = [tuple(r[0, w] for r in (dx_ref, dy_ref, dz_ref))
-            for w in range(2)]
+            for w in range(WAVES)]
     if not uniform_o:
         origs = [tuple(r[0, w] for r in (ox_ref, oy_ref, oz_ref))
-                 for w in range(2)]
+                 for w in range(WAVES)]
     def _fresh_state():
         st = (
             jnp.full((TILE_S, TILE_L), BIG, jnp.float32),
@@ -188,7 +214,7 @@ def _dual_kernel(num_instances, with_stats, uniform_o, smem_codes,
             st = st + (jnp.zeros((TILE_S, TILE_L), jnp.float32),)
         return st
 
-    best = [_fresh_state() for _ in range(2)]
+    best = [_fresh_state() for _ in range(WAVES)]
     n_pops = jnp.int32(0)
     n_tests = jnp.int32(0)
 
@@ -215,7 +241,7 @@ def _dual_kernel(num_instances, with_stats, uniform_o, smem_codes,
         oo = []
         idv = []
         oi = []
-        for w in range(2):
+        for w in range(WAVES):
             wdx, wdy, wdz = dirs[w]
             odx, ody, odz = _quat_rot(qw, qx, qy, qz, wdx, wdy, wdz)
             odx, ody, odz = odx * sx, ody * sy, odz * sz
@@ -288,31 +314,39 @@ def _dual_kernel(num_instances, with_stats, uniform_o, smem_codes,
                 oo[w_], od[w_], None if num_instances == 1 else i,
                 occlusion, carry_uv=carry_uv, carry_n=carry_n,
             )
-            for w_ in range(2)
+            for w_ in range(WAVES)
         ]
 
         def test_tri(w, rec, k, live, *st):
             return _tt[w](rec, k, live, *st)
 
-        def popk_dual_wide(sps, t_bs):
-            """Wide-mode combined pop: up to POP_K 4-wide nodes from
-            EACH tile per sync. Vector phase packs one count+permutation
-            word per pop (kernels/wide4.py scheme); scalar phase reads
-            child codes SMEM-direct."""
-            nodes, acts = [[], []], [[], []]
-            for w in range(2):
+        def read_nodes_wide(sps):
+            """Scalar stack-top reads for the next 2*POP_K wide pops."""
+            nodes, acts = [], []
+            for w in range(WAVES):
                 sp = sps[w]
                 base = w * stack_sz
+                nw, aw = [], []
                 for j in range(POP_K):
-                    acts[w].append((sp > j).astype(jnp.int32))
-                    nodes[w].append(
-                        smem_ref[base + jnp.maximum(sp - 1 - j, 0)]
-                    )
+                    aw.append((sp > j).astype(jnp.int32))
+                    nw.append(smem_ref[base + jnp.maximum(sp - 1 - j, 0)])
+                nodes.append(tuple(nw))
+                acts.append(tuple(aw))
+            return tuple(nodes), tuple(acts)
 
-            # --- vector phase ---
-            for w in range(2):
+        def fetch_recs_wide(nodes):
+            return tuple(
+                tuple(fetch32(nodes[w][j]) for j in range(POP_K))
+                for w in range(WAVES)
+            )
+
+        def box_phase_wide(recs, t_bs):
+            """Vector phase: 4-child slab tests per popped record, one
+            count+permutation word per pop (kernels/wide4.py scheme)."""
+            words = [[None] * POP_K for _ in range(WAVES)]
+            for w in range(WAVES):
                 for j in range(POP_K):
-                    rec = fetch32(nodes[w][j])
+                    rec = recs[w][j]
                     ds = [packet_entry(w, rec, 6 * c, t_bs[w])
                           for c in range(4)]
                     hs = [(d < BIG).astype(jnp.int32) for d in ds]
@@ -329,7 +363,34 @@ def _dual_kernel(num_instances, with_stats, uniform_o, smem_codes,
                         word = word + jnp.left_shift(
                             jnp.int32(c), 3 + 2 * r
                         )
-                    smem_ref[_s_push + w * POP_K + j] = word
+                    words[w][j] = word
+            if PACK_WORDS:
+                for j in range(POP_K):
+                    smem_ref[_s_push + j] = words[0][j] + jnp.left_shift(
+                        words[1][j], 16
+                    )
+            else:
+                for w in range(WAVES):
+                    for j in range(POP_K):
+                        smem_ref[_s_push + w * POP_K + j] = words[w][j]
+
+        def read_word_wide(w, j):
+            if PACK_WORDS:
+                return (smem_ref[_s_push + j] >> (16 * w)) & 0xFFFF
+            return smem_ref[_s_push + w * POP_K + j]
+
+        def popk_dual_wide(sps, t_bs, pre=None):
+            """Wide-mode combined pop: up to POP_K 4-wide nodes from
+            EACH tile per sync. Vector phase packs one count+permutation
+            word per pop; scalar phase reads child codes SMEM-direct.
+            ``pre`` = (nodes, acts, recs) carried from the previous
+            body's prefetch (TRT_DUAL_PIPE)."""
+            if pre is None:
+                nodes, acts = read_nodes_wide(sps)
+                recs = fetch_recs_wide(nodes)
+            else:
+                nodes, acts, recs = pre
+            box_phase_wide(recs, t_bs)
 
             # --- scalar phase (single combined stall, both tiles) ---
             sp_out = []
@@ -337,7 +398,7 @@ def _dual_kernel(num_instances, with_stats, uniform_o, smem_codes,
             nls = []
             pops = jnp.int32(0)
             tadd = jnp.int32(0)
-            for w in range(2):
+            for w in range(WAVES):
                 spm = sps[w]
                 for j in range(POP_K):
                     spm = spm - acts[w][j]
@@ -348,7 +409,7 @@ def _dual_kernel(num_instances, with_stats, uniform_o, smem_codes,
                 leaf = []
                 for j in reversed(range(POP_K)):
                     node, act = nodes[w][j], acts[w][j]
-                    w_ = smem_ref[_s_push + w * POP_K + j]
+                    w_ = read_word_wide(w, j)
                     count = (w_ & 7) * act
                     pop_leaves = []
                     for p in reversed(range(4)):  # farthest -> nearest
@@ -403,9 +464,9 @@ def _dual_kernel(num_instances, with_stats, uniform_o, smem_codes,
             two tiles' fetch->reduce chains are independent, giving the
             scheduler real overlap (unlike the shared-stack r1 dual
             wave)."""
-            nodes = [[], []]
-            acts = [[], []]
-            for w in range(2):
+            nodes = [[] for _ in range(WAVES)]
+            acts = [[] for _ in range(WAVES)]
+            for w in range(WAVES):
                 sp = sps[w]
                 base = w * stack_sz
                 for j in range(POP_K):
@@ -413,7 +474,7 @@ def _dual_kernel(num_instances, with_stats, uniform_o, smem_codes,
                     nodes[w].append(smem_ref[base + jnp.maximum(sp - 1 - j, 0)])
 
             # --- vector phase: issue everything, read nothing ---
-            for w in range(2):
+            for w in range(WAVES):
                 for j in range(POP_K):
                     node = nodes[w][j]
                     s = w * POP_K + j
@@ -435,7 +496,7 @@ def _dual_kernel(num_instances, with_stats, uniform_o, smem_codes,
             sp_out = []
             leaves = []
             pops = jnp.int32(0)
-            for w in range(2):
+            for w in range(WAVES):
                 spm = sps[w]
                 for j in range(POP_K):
                     spm = spm - acts[w][j]
@@ -637,46 +698,81 @@ def _dual_kernel(num_instances, with_stats, uniform_o, smem_codes,
 
             return jax.lax.fori_loop(0, n_quads, quad_body, (stA, stB))
 
+        def _drain_all(nls, sts):
+            if DRAIN_FUSED:
+                assert WAVES == 2, "TRT_DRAIN_FUSED pairs tiles"
+                return list(leaf_drain_fused(nls, sts[0], sts[1]))
+            return [leaf_drain(w, nls[w], sts[w]) for w in range(WAVES)]
+
+        def body_pipe(carry):
+            """TRT_DUAL_PIPE body: this sync's records were fetched at
+            the END of the previous body (before its leaf drains), so
+            the pop phase starts straight at the box tests; the next
+            sync's stack reads + record fetches issue before this
+            body's drains, giving the scheduler the whole drain to
+            cover the fetch chain's latency."""
+            sps, sts, np_, nt_, nodes, acts, recs = carry
+            sts = list(sts)
+            sps, nls, pops, tadd = popk_dual_wide(
+                sps, tuple(st[0] for st in sts), pre=(nodes, acts, recs)
+            )
+            nodes2, acts2 = read_nodes_wide(sps)
+            recs2 = fetch_recs_wide(nodes2)
+            sts = _drain_all(nls, sts)
+            return (tuple(sps), tuple(sts), np_ + pops, nt_ + tadd,
+                    nodes2, acts2, recs2)
+
         def body(carry):
-            spA, spB, stA, stB, np_, nt_ = carry
+            sps, sts, np_, nt_ = carry
+            sts = list(sts)
+            t_bs = tuple(st[0] for st in sts)
             if wide and flat_leaf:
-                sps, nls, pops, tadd = popk_dual_wide(
-                    (spA, spB), (stA[0], stB[0])
-                )
-                if DRAIN_FUSED:
-                    stA, stB = leaf_drain_fused(nls, stA, stB)
-                else:
-                    stA = leaf_drain(0, nls[0], stA)
-                    stB = leaf_drain(1, nls[1], stB)
-                return sps[0], sps[1], stA, stB, np_ + pops, nt_ + tadd
+                sps, nls, pops, tadd = popk_dual_wide(sps, t_bs)
+                sts = _drain_all(nls, sts)
+                return tuple(sps), tuple(sts), np_ + pops, nt_ + tadd
             pop_fn = popk_dual_wide if wide else popk_dual
-            sps, leaves, pops = pop_fn((spA, spB), (stA[0], stB[0]))
+            sps, leaves, pops = pop_fn(sps, t_bs)
             nt = nt_
             if FUSED_LEAVES:
+                assert WAVES == 2, "TRT_DUAL_FUSED pairs tiles"
                 for (sa, ca), (sb, cb) in zip(leaves[0], leaves[1]):
-                    stA, stB = dual_leaf_loop(sa, ca, sb, cb, (stA, stB))
+                    sts = list(dual_leaf_loop(sa, ca, sb, cb, tuple(sts)))
                     nt = nt + ca + cb
             else:
-                for sa, ca in leaves[0]:
-                    stA = single_leaf_loop(0, sa, ca, stA)
-                    nt = nt + ca
-                for sb, cb in leaves[1]:
-                    stB = single_leaf_loop(1, sb, cb, stB)
-                    nt = nt + cb
-            return sps[0], sps[1], stA, stB, np_ + pops, nt
+                for w in range(WAVES):
+                    for sa, ca in leaves[w]:
+                        sts[w] = single_leaf_loop(w, sa, ca, sts[w])
+                        nt = nt + ca
+            return tuple(sps), tuple(sts), np_ + pops, nt
+
+        def _any_live(sps):
+            live = sps[0] > 0
+            for sp in sps[1:]:
+                live = live | (sp > 0)
+            return live
 
         root = inst_root_ref[i]
-        smem_ref[0] = root
-        smem_ref[stack_sz] = root
-        carry = (jnp.int32(1), jnp.int32(1), best[0], best[1],
-                 n_pops, n_tests)
-        carry = jax.lax.while_loop(
-            lambda c: (c[0] > 0) | (c[1] > 0), body, carry
-        )
-        _, _, bA, bB, n_pops, n_tests = carry
-        best = [bA, bB]
+        for w in range(WAVES):
+            smem_ref[w * stack_sz] = root
+        sps0 = (jnp.int32(1),) * WAVES
+        if PIPE and wide and flat_leaf:
+            nodes0, acts0 = read_nodes_wide(sps0)
+            recs0 = fetch_recs_wide(nodes0)
+            carry = (sps0, tuple(best), n_pops, n_tests,
+                     nodes0, acts0, recs0)
+            carry = jax.lax.while_loop(
+                lambda c: _any_live(c[0]), body_pipe, carry
+            )
+            _, bests, n_pops, n_tests = carry[:4]
+        else:
+            carry = (sps0, tuple(best), n_pops, n_tests)
+            carry = jax.lax.while_loop(
+                lambda c: _any_live(c[0]), body, carry
+            )
+            _, bests, n_pops, n_tests = carry
+        best = list(bests)
 
-    for w in range(2):
+    for w in range(WAVES):
         t_b, tri_b, in_b = best[w][:3]
         if num_instances == 1:
             in_b = jnp.where(tri_b >= 0, 0, in_b)
@@ -688,28 +784,30 @@ def _dual_kernel(num_instances, with_stats, uniform_o, smem_codes,
     if with_stats:
         zeros = jnp.zeros((TILE_S, TILE_L), jnp.int32)
         pops_ref[0, 0] = zeros + n_pops
-        pops_ref[0, 1] = zeros
         tests_ref[0, 0] = zeros + n_tests
-        tests_ref[0, 1] = zeros
+        for w in range(1, WAVES):
+            pops_ref[0, w] = zeros
+            tests_ref[0, w] = zeros
 
 
 def _run_dual(scene: SceneArrays, tiled, interpret: bool, worigin=None,
               wide: bool = False, occlusion: bool = False,
               carry_uv: bool = False, carry_n: bool = False):
     """Invoke the dual kernel over [n_tiles, TILE_S, 128] ray tiles,
-    two tiles per grid step (n_tiles padded to even). ``wide`` swaps
-    the binary node tables for the 4-wide collapse (scene.wide4)."""
+    WAVES tiles per grid step (n_tiles padded up to a multiple).
+    ``wide`` swaps the binary node tables for the 4-wide collapse
+    (scene.wide4)."""
     uniform_o = worigin is not None
     comps = list(tiled)
     n_tiles = comps[0].shape[0]
-    pad = n_tiles % 2
+    pad = (-n_tiles) % WAVES
     if pad:
         comps = [
-            jnp.concatenate([a, a[-1:]], axis=0) for a in comps
+            jnp.concatenate([a] + [a[-1:]] * pad, axis=0) for a in comps
         ]
-        n_tiles += 1
-    # [n2, 2, TILE_S, 128]
-    comps = [a.reshape(-1, 2, TILE_S, TILE_L) for a in comps]
+        n_tiles += pad
+    # [n2, WAVES, TILE_S, 128]
+    comps = [a.reshape(-1, WAVES, TILE_S, TILE_L) for a in comps]
     n2 = comps[0].shape[0]
 
     smem_codes = scene.node_child_a.shape[0] * 4 <= SMEM_CODE_BUDGET
@@ -732,7 +830,7 @@ def _run_dual(scene: SceneArrays, tiled, interpret: bool, worigin=None,
     with_stats = _stats_enabled()
 
     ray_spec = pl.BlockSpec(
-        (1, 2, TILE_S, TILE_L), lambda i: (i, 0, 0, 0),
+        (1, WAVES, TILE_S, TILE_L), lambda i: (i, 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
     vmem_whole = lambda a: pl.BlockSpec(
@@ -758,8 +856,8 @@ def _run_dual(scene: SceneArrays, tiled, interpret: bool, worigin=None,
             + [ray_spec] * 6
             + [code_spec(code_arr), vmem_whole(nodef), vmem_whole(trif)]
         )
-    f32s = jax.ShapeDtypeStruct((n2, 2, TILE_S, TILE_L), jnp.float32)
-    i32s = jax.ShapeDtypeStruct((n2, 2, TILE_S, TILE_L), jnp.int32)
+    f32s = jax.ShapeDtypeStruct((n2, WAVES, TILE_S, TILE_L), jnp.float32)
+    i32s = jax.ShapeDtypeStruct((n2, WAVES, TILE_S, TILE_L), jnp.int32)
     n_extra = (2 if carry_uv else 0) + (3 if carry_n else 0)
     out_shape = (
         (f32s, i32s, i32s)
