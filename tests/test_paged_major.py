@@ -83,13 +83,45 @@ def test_paged_major_routing(monkeypatch):
     np.testing.assert_array_equal(np.asarray(got.t), np.asarray(ref.t))
 
 
-def test_paged_major_rejects_multi_instance():
+def _multi_instance_rays():
+    """Two MESHES x two posed/scaled instances (cube + icosphere,
+    test_pallas_interpret's scene): exercises the (instance, page) item
+    sweep, page->mesh ownership masking, and the inst state block."""
     from test_pallas_interpret import _two_instance_scene
 
     arrays, cam = _two_instance_scene()
-    tables = prepare_paged(arrays, page_tris=32, page_nodes=64, wide=True)
     p = cam.ray_params()
     o, d = generate_rays(cam.width, cam.height, p["K_inv"], p["D"],
                          p["pose"], p["inv_pose"])
-    with pytest.raises(ValueError, match="single-instance"):
-        cast_rays_paged_major(arrays, tables, o, d, interpret=True)
+    return arrays, o, d
+
+
+def test_paged_major_multi_instance_matches_resident():
+    """Multi-instance page-major (VERDICT r3 weak #4): bit-equal hits
+    INCLUDING the instance id vs the resident linear kernel."""
+    arrays, o, d = _multi_instance_rays()
+    ref = cast_rays_pallas(arrays, o, d, interpret=True)
+    tables = prepare_paged(arrays, page_tris=32, page_nodes=64, wide=True)
+    got = cast_rays_paged_major(arrays, tables, o, d, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got.tri), np.asarray(ref.tri))
+    np.testing.assert_array_equal(np.asarray(got.inst), np.asarray(ref.inst))
+    np.testing.assert_array_equal(np.asarray(got.t), np.asarray(ref.t))
+
+
+def test_paged_major_multi_instance_dma_is_o_items(monkeypatch):
+    """The page DMA count is O(instances x visible pages), bounded by
+    the I x P item grid — the stats counter records how many items
+    actually streamed (ownership masking skips the rest)."""
+    monkeypatch.setenv("TRT_KERNEL_STATS", "1")
+    arrays, o, d = _multi_instance_rays()
+    tables = prepare_paged(arrays, page_tris=32, page_nodes=64, wide=True)
+    from tpu_raytracer.kernels.paged import _PAGED_STATS
+
+    cast_rays_paged_major(arrays, tables, o, d, interpret=True)
+    streamed = int(_PAGED_STATS["pages_streamed"])
+    n_items = arrays.num_instances * tables.num_pages
+    assert 0 < streamed <= n_items
+    # ownership masking: every mesh's pages stream for AT MOST the
+    # instances that reference that mesh (here 1 each), so the total
+    # can never reach the full I x P grid
+    assert streamed < n_items

@@ -829,13 +829,13 @@ def cast_rays_paged(scene: SceneArrays, tables: PagedTables, origin,
     """Nearest-hit query with the HBM-paged packet kernel. Same Hit
     record and ray-layout handling as cast_rays_pallas. Routing:
     PAGE-MAJOR kernel (kernels/paged_major.py — each page DMA'd once
-    per frame) for single-instance scenes when TRT_PAGED_MAJOR=1;
-    else the tile-major paged-WIDE kernel when the tables carry the
-    per-page 4-wide collapse (default; TRT_PAGED_WIDE=0 forces the
-    binary in-page loop)."""
+    per instance per frame) when TRT_PAGED_MAJOR=1; else the tile-major
+    paged-WIDE kernel when the tables carry the per-page 4-wide
+    collapse (default; TRT_PAGED_WIDE=0 forces the binary in-page
+    loop)."""
     from ..render.renderer import Hit  # local: avoids cycle
 
-    if (tables.has_wide and scene.num_instances == 1
+    if (tables.has_wide
             and os.environ.get("TRT_PAGED_MAJOR", "0") == "1"):
         from .paged_major import cast_rays_paged_major
 

@@ -375,9 +375,8 @@ def _cast_rays_paged_auto(scene: SceneArrays, origin, directions) -> Hit:
 
 
 def _cast_rays_paged_major(scene: SceneArrays, origin, directions) -> Hit:
-    """Force the PAGE-major paged kernel (kernels/paged_major.py);
-    single-instance scenes only. The `paged` backend also routes here
-    when TRT_PAGED_MAJOR=1."""
+    """Force the PAGE-major paged kernel (kernels/paged_major.py).
+    The `paged` backend also routes here when TRT_PAGED_MAJOR=1."""
     from ..kernels.paged import prepare_paged
     from ..kernels.paged_major import cast_rays_paged_major
 
