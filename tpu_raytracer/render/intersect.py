@@ -88,27 +88,36 @@ def barycentric_rows(tv0, tv1, tv2):
     return ra, rb
 
 
-def point_in_triangle_uv(origin, direction, t, tv0, tv1, tv2, uv0, uv1, uv2):
-    """Barycentric inside test + UV interpolation
-    (TrianglePrimitive.hpp:151-185).
-
-    Takes the RAY (origin, direction, plane parameter t) rather than the
-    hit point: the local offset is evaluated as (origin - v0) + t*d so
-    the f32 rounding matches the Pallas kernels' fused form exactly
-    (computing p = o + t*d first then p - v0 rounds differently).
-    Returns (uv [..., 2], inside [...]). Weight order w*uv0 + v*uv1 +
-    u*uv2 matches the reference (TrianglePrimitive.hpp:179).
-    """
+def barycentric_uv(origin, direction, t, tv0, tv1, tv2):
+    """Raw barycentric coordinates of the ray's plane point
+    (TrianglePrimitive.hpp:151-169). Takes the RAY (origin, direction,
+    plane parameter t) rather than the hit point: the local offset is
+    evaluated as (origin - v0) + t*d so the f32 rounding matches the
+    Pallas kernels' fused form exactly (computing p = o + t*d first
+    then p - v0 rounds differently). Returns (u, v)."""
     ra, rb = barycentric_rows(tv0, tv1, tv2)
     e2 = (origin - tv0) + t[..., None] * direction
     u = dot(ra, e2)
     v = dot(rb, e2)
-    inside = (u >= -EDGE_EPS) & (v >= -EDGE_EPS) & (u + v <= 1.0 + EDGE_EPS)
+    return u, v
+
+
+def bary_interp(u, v, a0, a1, a2):
+    """Barycentric attribute interpolation w*a0 + v*a1 + u*a2 — the
+    reference's weight order (TrianglePrimitive.hpp:179): corner 0
+    carries w = 1-u-v, corner 1 carries v, corner 2 carries u."""
     w = 1.0 - u - v
-    uv = (
-        w[..., None] * uv0 + v[..., None] * uv1 + u[..., None] * uv2
-    )
-    return uv, inside
+    return w[..., None] * a0 + v[..., None] * a1 + u[..., None] * a2
+
+
+def point_in_triangle_uv(origin, direction, t, tv0, tv1, tv2, uv0, uv1, uv2):
+    """Barycentric inside test + UV interpolation
+    (TrianglePrimitive.hpp:151-185). Same op order as the pre-split
+    form (barycentric_uv + bary_interp), so results are bit-identical.
+    Returns (uv [..., 2], inside [...])."""
+    u, v = barycentric_uv(origin, direction, t, tv0, tv1, tv2)
+    inside = (u >= -EDGE_EPS) & (v >= -EDGE_EPS) & (u + v <= 1.0 + EDGE_EPS)
+    return bary_interp(u, v, uv0, uv1, uv2), inside
 
 
 def ray_aabb_entry(origin, inv_direction, box_min, box_max):

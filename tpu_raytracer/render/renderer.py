@@ -32,6 +32,8 @@ from ..core import transforms as T
 from ..core.vecmath import FLT_MAX, dot, magnitude, normalize
 from ..scene.scene import SceneArrays
 from .intersect import (
+    bary_interp,
+    barycentric_uv,
     point_in_triangle_uv,
     ray_aabb_entry,
     ray_plane_hit,
@@ -276,13 +278,9 @@ def hit_attributes(
                 [scene.tri_uv0, scene.tri_uv1, scene.tri_uv2], axis=1
             )
             uvr = uvpack[tri]
-            u = hit.u
-            v = hit.v
-            w = 1.0 - u - v
-            uv = (
-                w[..., None] * uvr[..., 0:2] + v[..., None] * uvr[..., 2:4]
-                + u[..., None] * uvr[..., 4:6]
-            )
+            u_b, v_b = hit.u, hit.v
+            uv = bary_interp(u_b, v_b, uvr[..., 0:2], uvr[..., 2:4],
+                             uvr[..., 4:6])
         # hit.t IS the plane parameter on accepted lanes (kernel t ==
         # ray_plane_hit's t bit-for-bit, v17 notes), so the plane redo
         # drops; same point formula as ray_plane_hit. Misses keep
@@ -299,11 +297,12 @@ def hit_attributes(
                 [scene.tri_v0, scene.tri_v1, scene.tri_v2,
                  scene.tri_uv0, scene.tri_uv1, scene.tri_uv2], axis=1
             )[tri]
-            uv, _ = point_in_triangle_uv(
+            u_b, v_b = barycentric_uv(
                 obj_org, obj_dir, tp, uvrec[..., 0:3], uvrec[..., 3:6],
-                uvrec[..., 6:9], uvrec[..., 9:11], uvrec[..., 11:13],
-                uvrec[..., 13:15],
+                uvrec[..., 6:9],
             )
+            uv = bary_interp(u_b, v_b, uvrec[..., 9:11],
+                             uvrec[..., 11:13], uvrec[..., 13:15])
     else:
         # ONE wide row gather instead of 7 separate table gathers (TPU
         # gathers are expensive per-op; the [T, 18] concat is a cheap
@@ -316,10 +315,23 @@ def hit_attributes(
         tv0 = rec[..., 0:3]
         tnormal = rec[..., 9:12]
         tp, point, _ = ray_plane_hit(obj_org, obj_dir, tv0, tnormal)
-        uv, _ = point_in_triangle_uv(
-            obj_org, obj_dir, tp, tv0, rec[..., 3:6], rec[..., 6:9],
-            rec[..., 12:14], rec[..., 14:16], rec[..., 16:18],
+        u_b, v_b = barycentric_uv(
+            obj_org, obj_dir, tp, tv0, rec[..., 3:6], rec[..., 6:9]
         )
+        uv = bary_interp(u_b, v_b, rec[..., 12:14], rec[..., 14:16],
+                         rec[..., 16:18])
+    if scene.tri_vnorm is not None:
+        # Smooth shading normals (the reference's disabled vn fan path,
+        # OBJLoader.hpp:119-135): interpolate the per-corner vertex
+        # normals at the hit's barycentrics; triangles whose face had
+        # no vn records (flag 0) keep the flat face normal. The world
+        # transform + normalize below apply to the interpolated vector
+        # unchanged (normalize absorbs its non-unit length).
+        vrec = scene.tri_vnorm[tri]
+        n_int = bary_interp(u_b, v_b, vrec[..., 0:3], vrec[..., 3:6],
+                            vrec[..., 6:9])
+        smooth = (vrec[..., 9] > 0) & ok
+        tnormal = jnp.where(smooth[..., None], n_int, tnormal)
     location = T.apply_lre(inst_inv_pose, point * scale)
     if normal_mode == "inverse_transpose":
         # (R diag(s))^-T = R diag(1/s): scale in OBJECT axes, then

@@ -114,6 +114,14 @@ class MeshPrimitive:
     uv1: np.ndarray
     uv2: np.ndarray
     bvh: BVHArrays
+    # Optional per-corner VERTEX normals for smooth shading (the
+    # reference's disabled vn-averaging path, OBJLoader.hpp:119-135):
+    # corner order matches (v0, v1, v2); vn_mask flags triangles whose
+    # face carried complete vn indices (others shade flat).
+    vn0: np.ndarray | None = None  # [T, 3] f32
+    vn1: np.ndarray | None = None
+    vn2: np.ndarray | None = None
+    vn_mask: np.ndarray | None = None  # [T] bool
 
     @classmethod
     def from_triangles(
@@ -129,6 +137,10 @@ class MeshPrimitive:
         exact_normals: bool = True,
         builder: str = "auto",
         min_leaf_size: int | None = None,
+        vn0=None,
+        vn1=None,
+        vn2=None,
+        vn_mask=None,
     ) -> "MeshPrimitive":
         """Build from raw triangle arrays; computes winding normals when
         none are given (TrianglePrimitive.hpp:15-23) and builds the BVH
@@ -167,9 +179,17 @@ class MeshPrimitive:
             v0, v1, v2, max_depth, min_leaf_size, builder, num
         )
         p = bvh.order  # reorder into leaf-contiguous order
+        kw = {}
+        if vn0 is not None:
+            kw = dict(
+                vn0=np.asarray(vn0, np.float32).reshape(-1, 3)[p],
+                vn1=np.asarray(vn1, np.float32).reshape(-1, 3)[p],
+                vn2=np.asarray(vn2, np.float32).reshape(-1, 3)[p],
+                vn_mask=np.asarray(vn_mask, bool).reshape(-1)[p],
+            )
         return cls(
             v0=v0[p], v1=v1[p], v2=v2[p], normal=normal[p],
-            uv0=uv0[p], uv1=uv1[p], uv2=uv2[p], bvh=bvh,
+            uv0=uv0[p], uv1=uv1[p], uv2=uv2[p], bvh=bvh, **kw,
         )
 
     @property

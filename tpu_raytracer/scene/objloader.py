@@ -104,25 +104,89 @@ def _parse_obj_py(text: str):
     return v0, v1, v2, uv0, uv1, uv2, has_uv
 
 
-def load(fp: str, max_depth: int = 48, exact_normals: bool = True) -> MeshPrimitive:
+def parse_obj_vertex_normals(text: str):
+    """Per-corner VERTEX normals — the `vn` records the reference
+    collects (OBJLoader.hpp:55-62) and its disabled normal-interpolation
+    fan path (OBJLoader.hpp:119-135), realized.
+
+    Walks the SAME face iteration as the geometry parsers (identical
+    fan triangulation order), attaching a face's vn triple only when
+    EVERY token carries a vn index (`v//vn` or `v/vt/vn`) — mixed faces
+    degrade to face normals, mirroring the mixed-vt rule. Runs as a
+    pure-Python side pass so it composes with the native geometry
+    parser (which stays on its 7-field C ABI).
+
+    Returns (vn0, vn1, vn2 [T, 3] f32, mask [T] bool)."""
+    normals: list[list[float]] = []
+    tri_n: list[tuple[int, int, int] | None] = []
+    for line in text.splitlines():
+        tokens = line.split()
+        if not tokens:
+            continue
+        tag = tokens[0]
+        if tag == "vn":
+            normals.append(
+                [float(tokens[1]), float(tokens[2]), float(tokens[3])]
+            )
+        elif tag == "f":
+            n_idx: list[int] = []
+            n_face = len(tokens) - 1
+            for tok in tokens[1:]:
+                parts = tok.split("/")
+                if len(parts) > 2 and parts[2] != "":
+                    n_idx.append(int(parts[2]) - 1)
+            has_n = len(n_idx) == n_face
+            for i in range(1, n_face - 1):
+                tri_n.append(
+                    (n_idx[0], n_idx[i], n_idx[i + 1]) if has_n else None
+                )
+    ns = (
+        np.asarray(normals, np.float32).reshape(-1, 3)
+        if normals else np.zeros((0, 3), np.float32)
+    )
+    mask = np.array([n is not None for n in tri_n], bool)
+    vn0 = np.zeros((len(tri_n), 3), np.float32)
+    vn1 = np.zeros((len(tri_n), 3), np.float32)
+    vn2 = np.zeros((len(tri_n), 3), np.float32)
+    if mask.any():
+        idx = np.asarray(
+            [n for n in tri_n if n is not None], np.int64
+        ).reshape(-1, 3)
+        vn0[mask] = ns[idx[:, 0]]
+        vn1[mask] = ns[idx[:, 1]]
+        vn2[mask] = ns[idx[:, 2]]
+    return vn0, vn1, vn2, mask
+
+
+def load(fp: str, max_depth: int = 48, exact_normals: bool = True,
+         vertex_normals: bool = False) -> MeshPrimitive:
     """Load an OBJ file into a MeshPrimitive (BVH built in the
-    constructor, like OBJLoader.hpp:177 -> MeshPrimitive.cpp:5-15)."""
+    constructor, like OBJLoader.hpp:177 -> MeshPrimitive.cpp:5-15).
+
+    ``vertex_normals=True`` additionally attaches the file's `vn`
+    records for smooth (interpolated) shading normals — opt-in: the
+    reference's vn-averaging branch is disabled scaffolding
+    (OBJLoader.hpp:119-135), so parity default is face normals."""
     with open(fp) as f:
         text = f.read()
-    v0, v1, v2, uv0, uv1, uv2, _ = parse_obj(text)
-    mesh = MeshPrimitive.from_triangles(
-        v0, v1, v2, None, uv0, uv1, uv2,
-        max_depth=max_depth, exact_normals=exact_normals,
-    )
+    mesh = loads(text, max_depth=max_depth, exact_normals=exact_normals,
+                 vertex_normals=vertex_normals)
     print(f"OBJ File: {fp}")
     print(f"Loaded {mesh.num_triangles} triangles")
     return mesh
 
 
-def loads(text: str, max_depth: int = 48, exact_normals: bool = True) -> MeshPrimitive:
-    """Load OBJ source from a string."""
+def loads(text: str, max_depth: int = 48, exact_normals: bool = True,
+          vertex_normals: bool = False) -> MeshPrimitive:
+    """Load OBJ source from a string (see load)."""
     v0, v1, v2, uv0, uv1, uv2, _ = parse_obj(text)
+    vn = (None,) * 4
+    if vertex_normals:
+        vn = parse_obj_vertex_normals(text)
+        if not vn[3].any():
+            vn = (None,) * 4  # no usable vn records: plain face normals
     return MeshPrimitive.from_triangles(
         v0, v1, v2, None, uv0, uv1, uv2,
         max_depth=max_depth, exact_normals=exact_normals,
+        vn0=vn[0], vn1=vn[1], vn2=vn[2], vn_mask=vn[3],
     )

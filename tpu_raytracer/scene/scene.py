@@ -138,6 +138,13 @@ class SceneArrays:
     # the low-pop-count flagship kernel's input. Attached at compile
     # for resident-size scenes; TRT_WIDE4 routes to it.
     wide4: object | None = None
+    # Per-corner vertex normals for smooth shading normals, packed
+    # [T, 10]: vn0 | vn1 | vn2 | smooth-flag (the reference's disabled
+    # vn-interpolation scaffolding, OBJLoader.hpp:119-135, realized).
+    # None when no mesh carries vn records — presence is the STATIC
+    # gate (hit_attributes skips the whole interpolation chain at
+    # trace time, like has_sky/has_textures).
+    tri_vnorm: jax.Array | None = None
 
     @property
     def num_triangles(self) -> int:
@@ -177,6 +184,7 @@ class SceneArrays:
             # derived tables / static flags; rebuilt on demand after load
             if f.name not in ("paged", "tlas", "wide4", "has_sky",
                               "has_textures")
+            and getattr(self, f.name) is not None  # optional tri_vnorm
         }
         np.savez_compressed(fp, **arrays)
 
@@ -286,6 +294,12 @@ class Scene:
         from ..core import transforms as T
 
         wv0, wv1, wv2, wn, wu0, wu1, wu2, wmat = ([] for _ in range(8))
+        wvn = [[] for _ in range(3)]
+        wvnm = []
+        any_vn = any(
+            self.meshes[i.mesh_index].vn0 is not None
+            for i in self.mesh_instances
+        )
         for inst in self.mesh_instances:
             mesh = self.meshes[inst.mesh_index]
             d = inst.build_inv()
@@ -297,10 +311,24 @@ class Scene:
             wv0.append(to_world(mesh.v0))
             wv1.append(to_world(mesh.v1))
             wv2.append(to_world(mesh.v2))
-            n = T.apply_euler(inv_pose[3:6], jnp.asarray(mesh.normal)) * scale
             from ..core.vecmath import normalize
 
-            wn.append(np.asarray(normalize(n), np.float32))
+            to_world_n = lambda n_: np.asarray(normalize(
+                T.apply_euler(inv_pose[3:6], jnp.asarray(n_)) * scale
+            ), np.float32)
+            wn.append(to_world_n(mesh.normal))
+            if any_vn:
+                # bake per-corner vertex normals to world space with the
+                # same convention as face normals (renormalized corners)
+                for j, vn_ in enumerate((mesh.vn0, mesh.vn1, mesh.vn2)):
+                    wvn[j].append(
+                        to_world_n(vn_) if vn_ is not None
+                        else np.zeros((mesh.num_triangles, 3), np.float32)
+                    )
+                wvnm.append(
+                    mesh.vn_mask if mesh.vn_mask is not None
+                    else np.zeros(mesh.num_triangles, bool)
+                )
             wu0.append(mesh.uv0)
             wu1.append(mesh.uv1)
             wu2.append(mesh.uv2)
@@ -312,6 +340,10 @@ class Scene:
         merged = MeshPrimitive.from_triangles(
             cat(wv0), cat(wv1), cat(wv2), cat(wn),
             cat(wu0), cat(wu1), cat(wu2),
+            vn0=cat(wvn[0]) if any_vn else None,
+            vn1=cat(wvn[1]) if any_vn else None,
+            vn2=cat(wvn[2]) if any_vn else None,
+            vn_mask=cat(wvnm) if any_vn else None,
         )
         tri_mat = cat(wmat)[merged.bvh.order]
 
@@ -351,6 +383,7 @@ class Scene:
         node_parts = {k: [] for k in ("min", "max", "ca", "cb", "ls", "lc")}
         tri_mesh = []
         tri_mat_parts = []
+        vnorm_parts = []
         mesh_root = []
         tri_off = 0
         node_off = 0
@@ -393,6 +426,16 @@ class Scene:
             src = np.where(pad, 0, src)
 
             tri_mesh.append(np.full(new_total, mesh_id, np.int32))
+            if mesh.vn0 is not None:
+                vn = np.concatenate(
+                    [mesh.vn0, mesh.vn1, mesh.vn2,
+                     mesh.vn_mask[:, None].astype(np.float32)], axis=1
+                )
+            else:
+                vn = np.zeros((mesh.num_triangles, 10), np.float32)
+            vnorm_parts.append(
+                np.where(pad[:, None], np.float32(0.0), vn[src])
+            )
             # per-triangle materials (flattened scenes only); -1 =
             # resolve via the instance, pads get -1
             mat_src = (
@@ -526,6 +569,10 @@ class Scene:
             sky_tex_h=i32(sky_h),
             has_sky=self.sky_texture is not None,
             has_textures=any(s >= 0 for s in tex_start),
+            tri_vnorm=(
+                f32(cat(vnorm_parts))
+                if any(m.vn0 is not None for m in self.meshes) else None
+            ),
         )
         # Beyond-VMEM scenes get their HBM-paging tables attached at
         # compile time, so EVERY render mode routes to the paged packet
