@@ -1,11 +1,16 @@
-"""4-wide collapsed-BVH kernel (kernels/wide4.py) in the CPU suite."""
+"""4-wide collapsed-BVH tables (accel/wide.py + kernels/wide4.py) in
+the CPU suite. The standalone wide kernel was superseded by its
+consumers and deleted (VERDICT r3 weak #8); its oracle coverage lives
+in test_dual.py (dual-wide, the flagship) and test_tlas.py — here we
+pin the table invariants plus the single-tile wide pop via the dual
+kernel's wide path against the resident linear kernel."""
 
 import numpy as np
 import pytest
 
 from tpu_raytracer.accel.wide import collapse4
+from tpu_raytracer.kernels.dual import cast_rays_dual
 from tpu_raytracer.kernels.traversal import cast_rays_pallas
-from tpu_raytracer.kernels.wide4 import cast_rays_wide4
 from tpu_raytracer.render.camera import generate_rays
 
 from test_pallas_interpret import _two_instance_scene
@@ -54,33 +59,25 @@ def test_collapse4_invariants():
             assert c < w.num_nodes
 
 
-def test_wide4_matches_linear_kernel():
+def test_wide_pop_matches_linear_kernel():
+    """The wide tables' consumer (dual-wide) against the resident
+    linear kernel — the coverage the deleted standalone kernel had."""
     arrays, cam = _two_instance_scene()
     assert arrays.wide4 is not None  # attached at compile
     o, d = _rays(cam)
     ref = cast_rays_pallas(arrays, o, d, interpret=True)
-    got = cast_rays_wide4(arrays, o, d, interpret=True)
+    got = cast_rays_dual(arrays, o, d, interpret=True, wide=True)
     np.testing.assert_array_equal(np.asarray(got.tri), np.asarray(ref.tri))
     np.testing.assert_array_equal(np.asarray(got.inst), np.asarray(ref.inst))
     np.testing.assert_array_equal(np.asarray(got.t), np.asarray(ref.t))
 
 
-def test_wide4_uniform_origin():
+def test_wide_pop_uniform_origin():
     arrays, cam = _two_instance_scene()
     o, d = _rays(cam)
     o3 = np.asarray(o).reshape(-1, 3)[0] if np.asarray(o).ndim > 1 \
         else np.asarray(o)
     ref = cast_rays_pallas(arrays, o3, d, interpret=True)
-    got = cast_rays_wide4(arrays, o3, d, interpret=True)
+    got = cast_rays_dual(arrays, o3, d, interpret=True, wide=True)
     np.testing.assert_array_equal(np.asarray(got.tri), np.asarray(ref.tri))
     np.testing.assert_array_equal(np.asarray(got.t), np.asarray(ref.t))
-
-
-def test_wide4_routing(monkeypatch):
-    """TRT_WIDE4=1 routes cast_rays_pallas through the wide kernel."""
-    arrays, cam = _two_instance_scene()
-    o, d = _rays(cam)
-    ref = cast_rays_pallas(arrays, o, d, interpret=True)
-    monkeypatch.setenv("TRT_WIDE4", "1")
-    got = cast_rays_pallas(arrays, o, d, interpret=True)
-    np.testing.assert_array_equal(np.asarray(got.tri), np.asarray(ref.tri))

@@ -1096,12 +1096,6 @@ def _tlas_default() -> bool:
     return os.environ.get("TRT_TLAS", "1") != "0"
 
 
-def _wide4_default() -> bool:
-    """TRT_WIDE4=1 routes to the 4-wide collapsed-BVH kernel
-    (kernels/wide4.py) — A/B gate."""
-    return os.environ.get("TRT_WIDE4", "0") == "1"
-
-
 def _frustum_default() -> bool:
     # Measured on the 82k-tri 1080p config (v11): the interval test cuts
     # per-pop vector work ~10x but loses per-ray t-pruning (packet cap =
@@ -1167,15 +1161,6 @@ def cast_rays_pallas(scene: SceneArrays, origin, directions, interpret=None,
         return cast_rays_tlas(scene, origin, directions,
                               interpret=interpret, occlusion=occlusion,
                               want_normals=want_normals)
-    if (
-        scene.wide4 is not None
-        and _wide4_default()
-        and not (frustum or bf16_box)
-    ):
-        from .wide4 import cast_rays_wide4
-
-        return cast_rays_wide4(scene, origin, directions,
-                               interpret=interpret, occlusion=occlusion)
     if _dual_default() and not (frustum or bf16_box):
         from .dual import cast_rays_dual
 

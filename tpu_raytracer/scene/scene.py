@@ -135,8 +135,8 @@ class SceneArrays:
     # update_instance on concrete arrays (dropped under tracing).
     tlas: object | None = None
     # 4-wide collapsed BVH tables (kernels/wide4.py Wide4Tables) —
-    # the low-pop-count flagship kernel's input. Attached at compile
-    # for resident-size scenes; TRT_WIDE4 routes to it.
+    # the low-pop-count input of the dual-wide flagship and the TLAS
+    # BLAS loop. Attached at compile for resident-size scenes.
     wide4: object | None = None
     # Per-corner vertex normals for smooth shading normals, packed
     # [T, 10]: vn0 | vn1 | vn2 | smooth-flag (the reference's disabled
