@@ -1,3 +1,8 @@
+from .scene_shard import (
+    cast_rays_scene_sharded,
+    render_image_scene_sharded,
+    shard_compile,
+)
 from .sharding import (
     make_mesh,
     render_image_path_traced_sharded,
@@ -6,8 +11,11 @@ from .sharding import (
 )
 
 __all__ = [
+    "cast_rays_scene_sharded",
     "make_mesh",
     "render_image_path_traced_sharded",
+    "render_image_scene_sharded",
     "render_image_sharded",
     "render_image_whitted_sharded",
+    "shard_compile",
 ]

@@ -1,0 +1,262 @@
+"""Scene-SHARDED multichip rendering (the SURVEY §2 TP-analog).
+
+The standard multichip path (parallel/sharding.py) shards RAYS and
+replicates the scene — right up to the point where the scene itself
+outgrows one chip's HBM. This module shards the GEOMETRY instead:
+
+  * the scene is flattened to world space (Scene.flattened — the same
+    static bake the whitted benchmarks use) and its merged, BVH-ordered
+    triangle soup is split into ``n`` contiguous chunks (leaf order is
+    spatially coherent, so chunks are compact, not interleaved);
+  * each chunk compiles into its own SceneArrays (own BVH) and the n
+    pytrees are stacked on a leading shard axis — materials/atlas are
+    replicated (identical rows), only geometry diverges;
+  * every chip casts ALL rays against ITS chunk (any resident backend),
+    then one lexicographic (t, global-tri) min-reduction over the mesh
+    axis — ``jax.lax.pmin`` riding ICI — crowns the scene-wide nearest
+    hit. Shading runs on the combined attributes (each field a
+    winner-masked ``psum``), and hard-shadow occlusion is the pmin of
+    the per-shard any-hit casts, so every lighting mode composes.
+
+Combine semantics: the winner is the smallest t, ties broken by the
+smaller GLOBAL triangle id (``shard * stride + local-BVH-index``) —
+deterministic and unique because the chunks are disjoint. A cross-shard
+EXACT-t tie may pick a different winner than the single-scene kernel's
+traversal order would (the standing cross-leaf tie caveat,
+kernels/paged_major.py NOTE); scenes with unique nearest hits — all of
+them, in practice — render identically.
+
+The reference has no distributed mode at all (single GPU, everything
+resident — Scene.cpp:41-64); this is the beyond-reference capability
+VERDICT r3 marked as the one missing §2 row. Like sharding.py, the
+mesh here is virtual-CPU-testable and the same code drives a real TPU
+pod slice.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..render.camera import generate_rays
+from ..render.pipeline import RenderConfig
+from ..render.renderer import FLT_MAX, Hit, get_cast_fn, hit_attributes
+from ..scene.scene import SceneArrays
+
+_MISS_TRI = jnp.int32(2 ** 30)
+
+
+def shard_compile(scene, n_shards: int, **compile_kw) -> SceneArrays:
+    """Flatten ``scene`` to world space, split the merged triangle soup
+    into ``n_shards`` contiguous chunks, compile each chunk and stack
+    the results on a leading shard axis (every leaf padded to the
+    largest chunk's shape). Host work, once per scene.
+
+    The returned stacked SceneArrays is NOT renderable directly — pass
+    it to cast_rays_scene_sharded / render_image_scene_sharded with a
+    mesh of exactly ``n_shards`` devices."""
+    from ..scene.scene import MeshInstance, Scene
+    from ..scene.mesh import MeshPrimitive
+
+    flat, tri_mat = scene.flattened()
+    merged = flat.meshes[0]
+    total = merged.num_triangles
+    if total < n_shards:
+        raise ValueError("fewer triangles than shards")
+    per = -(-total // n_shards)
+
+    shards = []
+    for s in range(n_shards):
+        lo, hi = s * per, min((s + 1) * per, total)
+        if lo >= hi:  # degenerate trailing shard: one real triangle
+            lo, hi = total - 1, total
+        chunk = Scene()
+        chunk.materials = flat.materials
+        chunk.sky_texture = getattr(scene, "sky_texture", None)
+        sl = slice(lo, hi)
+        kw = {}
+        if merged.vn0 is not None:
+            kw = dict(vn0=merged.vn0[sl], vn1=merged.vn1[sl],
+                      vn2=merged.vn2[sl], vn_mask=merged.vn_mask[sl])
+        mp = MeshPrimitive.from_triangles(
+            merged.v0[sl], merged.v1[sl], merged.v2[sl], merged.normal[sl],
+            merged.uv0[sl], merged.uv1[sl], merged.uv2[sl], **kw,
+        )
+        chunk.add_mesh(mp)
+        chunk.add_mesh_instance(MeshInstance(0, 0))
+        # per-triangle materials survive the flatten (aligned to the
+        # chunk BVH's reorder, like Scene.compile(flatten_static=True))
+        arrays = chunk.compile(
+            auto_page=False, _tri_mat=tri_mat[sl][mp.bvh.order],
+            **compile_kw,
+        )
+        # derived tables (wide4 et al) carry per-shard STATIC metadata
+        # that breaks treedef-uniform stacking; the sharded casts run
+        # the table-free backends, so drop them
+        shards.append(dataclasses.replace(
+            arrays, wide4=None, tlas=None, paged=None
+        ))
+
+    # pad every array leaf to the max shape per field, then stack
+    leaves_list = [jax.tree.leaves(a) for a in shards]
+    treedef = jax.tree.structure(shards[0])
+    stacked = []
+    for field in zip(*leaves_list):
+        arrs = [np.asarray(x) for x in field]
+        shape = tuple(max(a.shape[i] for a in arrs)
+                      for i in range(arrs[0].ndim))
+        padded = []
+        for a in arrs:
+            pad = [(0, shape[i] - a.shape[i]) for i in range(a.ndim)]
+            if any(p[1] for p in pad):
+                fill = -1 if a.dtype.kind in "iu" else 0
+                a = np.pad(a, pad, constant_values=fill)
+            padded.append(a)
+        stacked.append(jnp.asarray(np.stack(padded)))
+    out = jax.tree.unflatten(treedef, stacked)
+    # padded trailing nodes are (-1, -1, -1, -1) leaves with zero boxes:
+    # unreachable from the root, so they never traverse. Padded
+    # triangles are all-zero (normal 0 fails every denom test).
+    return out
+
+
+def _local(scene_stacked: SceneArrays) -> SceneArrays:
+    """Inside shard_map: peel the leading (length-1) shard axis."""
+    return jax.tree.map(lambda a: a[0], scene_stacked)
+
+
+def _tri_stride(scene_stacked: SceneArrays) -> int:
+    return int(scene_stacked.tri_v0.shape[1])
+
+
+def _combine_hit(hit: Hit, shard_id, stride, axis: str) -> Hit:
+    """Lexicographic (t, global-tri) min over the shard axis. Matches
+    the single-scene oracle's tie rule: smallest t, then smallest
+    global triangle id (chunks are disjoint, so the winner is unique
+    and the psum-broadcasts below are exact selects)."""
+    t_min = jax.lax.pmin(hit.t, axis)
+    gtri = hit.tri + shard_id * stride
+    cand = jnp.where((hit.t == t_min) & (hit.tri >= 0), gtri, _MISS_TRI)
+    gtri_min = jax.lax.pmin(cand, axis)
+    winner = cand == gtri_min
+    miss = gtri_min >= _MISS_TRI
+    out_tri = jnp.where(miss, jnp.int32(-1), gtri_min)
+    inst = jax.lax.psum(jnp.where(winner, hit.inst, 0), axis)
+    out_inst = jnp.where(miss, jnp.int32(-1), inst)
+    return Hit(t=t_min, tri=out_tri, inst=out_inst), winner
+
+
+def cast_rays_scene_sharded(
+    mesh: Mesh, scene_stacked: SceneArrays, origin, directions,
+    backend: str = "bvh",
+) -> Hit:
+    """Scene-wide nearest hit with the geometry sharded over ``mesh``.
+    Returns GLOBAL triangle ids (shard * stride + local)."""
+    axis = mesh.axis_names[0]
+    stride = _tri_stride(scene_stacked)
+
+    def body(sc, o, d):
+        local = _local(sc)
+        hit = get_cast_fn(backend)(local, o, d)
+        combined, _ = _combine_hit(
+            Hit(t=hit.t, tri=hit.tri, inst=hit.inst),
+            jax.lax.axis_index(axis), stride, axis,
+        )
+        return combined
+
+    origin = jnp.broadcast_to(
+        jnp.asarray(origin, jnp.float32), jnp.asarray(directions).shape
+    )
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )(scene_stacked, origin, jnp.asarray(directions, jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def render_image_scene_sharded(
+    config: RenderConfig,
+    mesh: Mesh,
+    scene_stacked: SceneArrays,
+    K_inv: jax.Array,
+    D: jax.Array,
+    pose: jax.Array,
+    inv_pose: jax.Array,
+) -> jax.Array:
+    """Primary render with the SCENE sharded over ``mesh`` and rays
+    replicated: per-shard cast + attrs, one lex-min hit combine, a
+    winner-masked psum of every shading input, and (lambert_shadow)
+    per-shard any-hit occlusion min-combined — so the shadow test sees
+    the WHOLE scene. Output matches the equivalent single-chip render
+    of the same flattened geometry."""
+    from ..render.integrators import to_u8, tonemap
+    from ..render.shade import shade_primary
+
+    axis = mesh.axis_names[0]
+    stride = _tri_stride(scene_stacked)
+    want_n = config.lighting != "flat"
+    if config.point_lights:
+        raise ValueError("scene-sharded rendering has no point lights yet")
+
+    origin, directions = generate_rays(
+        config.width, config.height, K_inv, D, pose, inv_pose,
+        exact=config.exact_math,
+    )
+    origin_b = jnp.broadcast_to(origin, directions.shape)
+
+    def body(sc, o, d):
+        local = _local(sc)
+        sid = jax.lax.axis_index(axis)
+        hit = get_cast_fn(config.backend, want_normals=want_n)(local, o, d)
+        combined, winner = _combine_hit(
+            Hit(t=hit.t, tri=hit.tri, inst=hit.inst), sid, stride, axis,
+        )
+        attrs = hit_attributes(local, o, d, hit, exact=config.exact_math,
+                               normal_mode=config.normal_mode)
+        # broadcast the winning shard's shading inputs to every chip
+        # (the winner mask is one-hot across the axis, so psum = select)
+        def sel(x, mask):
+            return jax.lax.psum(jnp.where(mask, x, 0), axis)
+
+        hit_any = combined.t < FLT_MAX
+        wv = winner[..., None]
+        cattrs = attrs._replace(
+            hit=hit_any,
+            t=combined.t,
+            location=sel(attrs.location, wv),
+            normal=sel(attrs.normal, wv),
+            uv=sel(attrs.uv, wv),
+            material=sel(attrs.material, winner),
+            inst=combined.inst,
+        )
+
+        def sharded_occlusion(_scene, so, sd):
+            # any-hit vs the LOCAL chunk, min-combined: occluded iff
+            # ANY shard occludes (t drops below FLT_MAX)
+            from ..render.renderer import occlusion_cast_fn
+
+            occ = occlusion_cast_fn(config.backend)(local, so, sd)
+            return Hit(t=jax.lax.pmin(occ.t, axis), tri=occ.tri,
+                       inst=occ.inst)
+
+        img = shade_primary(
+            local, cattrs, config.light_direction, config.lighting,
+            exact=config.exact_math, backend=config.backend,
+            directions=directions, tex_filter=config.texture_filter,
+            cast_fn=sharded_occlusion,
+        )
+        return img
+
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )(scene_stacked, origin_b, directions)

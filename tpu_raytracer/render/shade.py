@@ -279,6 +279,7 @@ def compute_illumination(
     backend: str = "bvh",
     directions=None,
     point_lights: tuple = (),
+    cast_fn=None,
 ) -> jax.Array:
     """Scalar illumination per ray.
 
@@ -315,7 +316,10 @@ def compute_illumination(
             from .renderer import occlusion_cast_fn
             from .sorted_cast import park_dead_rays
 
-            cast = occlusion_cast_fn(backend)
+            # cast_fn override: scene-sharded rendering injects a cast
+            # whose occlusion t is already min-combined across shards
+            # (parallel/scene_shard.py); default = the local any-hit
+            cast = cast_fn if cast_fn is not None else occlusion_cast_fn(backend)
             shadow_origin = attrs.location + light_dir * SHADOW_EPS
             # no shadow ray where the primary missed: parked lanes fail
             # the root box test so sky-dominated tiles cast for free
@@ -331,6 +335,11 @@ def compute_illumination(
         elif mode != "lambert":
             raise ValueError(f"unknown lighting mode: {mode}")
     if point_lights and mode != "flat":
+        if cast_fn is not None:
+            raise ValueError(
+                "point lights are not supported with a cast_fn override "
+                "(scene-sharded rendering)"
+            )
         if mode == "lambert_shadow":
             from .sorted_cast import secondary_cast_fn
 
@@ -355,6 +364,7 @@ def shade_primary(
     directions=None,
     point_lights: tuple = (),
     tex_filter: str = "nearest",
+    cast_fn=None,
 ) -> jax.Array:
     """Full primary-hit shade -> uint8 image in the reference's channel
     order. Misses get the sky color (raycast.cu:208-216)."""
@@ -365,7 +375,7 @@ def shade_primary(
                           uv_ddx=ddx, uv_ddy=ddy)
     illum = compute_illumination(
         scene, attrs, light_direction, mode, exact=exact, backend=backend,
-        directions=directions, point_lights=point_lights,
+        directions=directions, point_lights=point_lights, cast_fn=cast_fn,
     )
     rgb = illum[..., None] * color * jnp.float32(255.0)
     shaded = rgb.astype(jnp.uint8)  # C-cast truncation (raycast.cu:292-294)
