@@ -101,6 +101,81 @@ def main():
         "mrays_per_s": round(rays / dt / 1e6, 2),
     }), flush=True)
 
+    instanced_page_major(columns)
+
+
+def instanced_page_major(columns: int):
+    """VERDICT r4 item 5's record: a multi-INSTANCE beyond-VMEM scene
+    through the page-major kernel (one DMA per instance-visible page
+    per frame), brute-sampled for exactness and DMA-counted via the
+    stats counters."""
+    import os
+
+    os.environ["TRT_KERNEL_STATS"] = "1"
+    from tpu_raytracer.app.scenes import Camera, Material, MeshInstance, \
+        MeshPrimitive, Scene, procgen
+    from tpu_raytracer.kernels.paged import _PAGED_STATS, prepare_paged
+    from tpu_raytracer.kernels.paged_major import cast_rays_paged_major
+    from tpu_raytracer.render.camera import generate_rays
+    from tpu_raytracer.render.renderer import cast_rays_brute
+
+    scene = Scene()
+    scene.add_material(Material(albedo=(0.85, 0.8, 0.75)))
+    v0, v1, v2 = procgen.colonnade(columns, columns, 40)
+    scene.add_mesh(MeshPrimitive.from_triangles(v0, v1, v2))
+    a = MeshInstance(0, 0)
+    b = MeshInstance(0, 0)
+    b.pose = np.array([3.0, 40.0, 0.0, 0.0, 0.0, 0.6], np.float32)
+    b.scale = np.array([0.9, 1.1, 0.8], np.float32)
+    scene.add_mesh_instance(a)
+    scene.add_mesh_instance(b)
+    arrays = scene.compile()
+    tables = arrays.paged if arrays.paged is not None else prepare_paged(arrays)
+    cam = Camera.looking(512, 512, fov_deg=65.0, pose=[1.0, -2.0, 1.6, 0, 0, 0])
+    p = cam.ray_params()
+    o, d = generate_rays(cam.width, cam.height, p["K_inv"], p["D"],
+                         p["pose"], p["inv_pose"])
+
+    dt = timed(lambda: cast_rays_paged_major(arrays, tables, o, d), frames=4)
+    streamed = int(_PAGED_STATS["pages_streamed"])
+    n_items = arrays.num_instances * tables.num_pages
+
+    # exactness sample vs brute (chunked; see above)
+    d_np = np.asarray(d)
+    rng = np.random.default_rng(1)
+    ys = rng.integers(0, cam.height, 96)
+    xs = rng.integers(0, cam.width, 96)
+    sample_d = jnp.asarray(d_np[ys, xs])
+    hp = cast_rays_paged_major(arrays, tables, o, sample_d)
+    bt, binst = [], []
+    for c in range(0, len(ys), 16):
+        hb = cast_rays_brute(arrays, o, sample_d[c:c + 16])
+        bt.append(np.asarray(hb.t))
+        binst.append(np.asarray(hb.inst))
+    t_ok = np.allclose(np.asarray(hp.t), np.concatenate(bt),
+                       rtol=1e-5, atol=1e-5)
+    inst_same = int((np.asarray(hp.inst) != np.concatenate(binst)).sum())
+
+    rays = cam.width * cam.height
+    print(json.dumps({
+        "metric": (f"page-major 2-instance x "
+                   f"{round(arrays.num_triangles / 1e6, 2)}M-tri "
+                   f"@{cam.width}x{cam.height}"),
+        "fps": round(1 / dt, 2),
+        "mrays_per_s": round(rays / dt / 1e6, 2),
+        "pages_streamed_per_frame": streamed,
+        "item_grid": n_items,
+        "sample_t_close_vs_brute": bool(t_ok),
+        "inst_id_diffs_of_96": inst_same,
+    }), flush=True)
+
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if len(sys.argv) > 1 and sys.argv[1] == "instanced":
+        import os
+
+        instanced_page_major(int(os.environ.get("TRT_PAGED_COLUMNS", "18")))
+    else:
+        main()
