@@ -99,6 +99,45 @@ def _eval_axis(cent_ax, tmin, tmax, node_min_ax, node_max_ax, tests_per_axis):
     return float(cost[best]), float(pos[best])
 
 
+def _eval_axis_sweep(cent_ax, tmin, tmax):
+    """Exact SAH sweep over one axis: every split position between
+    centroid-sorted neighbours is costed via prefix/suffix box areas.
+
+    Beyond-reference quality mode (the reference tests only 5 uniform
+    positions per axis, BVHTree.hpp:297-303); returns
+    (best_cost, split_after_k, sort_order). Cost model is identical to
+    the reference's half_area * count, so the no-gain termination in
+    ``fill`` applies unchanged."""
+    n = len(cent_ax)
+    ordr = np.argsort(cent_ax, kind="stable")
+    mn_s = tmin[ordr]
+    mx_s = tmax[ordr]
+    lmn = np.minimum.accumulate(mn_s, axis=0)
+    lmx = np.maximum.accumulate(mx_s, axis=0)
+    rmn = np.minimum.accumulate(mn_s[::-1], axis=0)[::-1]
+    rmx = np.maximum.accumulate(mx_s[::-1], axis=0)[::-1]
+    counts = np.arange(1, n, dtype=np.float32)
+    cost = _half_area(lmn[:-1], lmx[:-1]) * counts + _half_area(
+        rmn[1:], rmx[1:]
+    ) * (np.float32(n) - counts)
+    k = int(np.argmin(cost))
+    return float(cost[k]), k, ordr
+
+
+def sah_cost(bvh: BVHArrays, c_trav: float = 1.0, c_isect: float = 1.0) -> float:
+    """Standard SAH tree cost: expected work for a random ray,
+    sum(A(node)/A(root)) * c_trav over internal nodes plus
+    sum(A(leaf)/A(root) * count) * c_isect over leaves. Diagnostic for
+    comparing builder modes (lower = fewer expected node visits)."""
+    area = _half_area(bvh.node_min, bvh.node_max)
+    root = max(float(area[0]), 1e-30)
+    is_leaf = bvh.child_a < 0
+    return float(
+        c_trav * area[~is_leaf].sum() / root
+        + c_isect * (area[is_leaf] * bvh.leaf_count[is_leaf]).sum() / root
+    )
+
+
 # Nodes above this size always split (see the forced-split note in
 # fill); must stay well under the packet kernel's 1023-triangle leaf cap
 FORCE_SPLIT_ABOVE = 512
@@ -111,12 +150,21 @@ def build_bvh(
     max_depth: int = 48,
     tests_per_axis: int = 5,
     min_leaf_size: int = 1,
+    mode: str = "reference",
 ) -> BVHArrays:
     """Build a BVH over triangles given as three [T, 3] vertex arrays.
 
     ``min_leaf_size``: stop splitting below this count (the reference
     stops at 1, BVHTree.hpp:214; larger values trade node visits for
-    triangle tests, a packet-traversal tuning knob)."""
+    triangle tests, a packet-traversal tuning knob).
+
+    ``mode``: "reference" reproduces the reference's 5-candidate
+    uniform split search exactly (BVHTree.hpp:294-361); "sweep" costs
+    EVERY centroid-sorted split position per axis (exact SAH sweep) —
+    a beyond-reference quality mode producing measurably cheaper trees
+    for the pop-latency-bound packet kernels. Same cost model and
+    termination rules; images are identical either way (a BVH only
+    changes visit order, never hits)."""
     v0 = np.asarray(v0, np.float32)
     v1 = np.asarray(v1, np.float32)
     v2 = np.asarray(v2, np.float32)
@@ -157,18 +205,26 @@ def build_bvh(
             return node_id
 
         cent = centroids[idx]
-        evals = [
-            _eval_axis(cent[:, ax], tri_min[idx], tri_max[idx], mn[ax], mx[ax], tests_per_axis)
-            for ax in range(3)
-        ]
-        (cx, px), (cy, py), (cz, pz) = evals
-        # Exact axis-selection chain from BVHTree.hpp:229-243 (ties -> z).
-        if cx < cy and cx < cz:
-            axis, split_pos, best_cost = 0, px, cx
-        elif cy < cx and cy < cz:
-            axis, split_pos, best_cost = 1, py, cy
+        if mode == "sweep":
+            sevals = [
+                _eval_axis_sweep(cent[:, ax], tri_min[idx], tri_max[idx])
+                for ax in range(3)
+            ]
+            axis = int(np.argmin([e[0] for e in sevals]))
+            best_cost, split_k, split_ord = sevals[axis]
         else:
-            axis, split_pos, best_cost = 2, pz, cz
+            evals = [
+                _eval_axis(cent[:, ax], tri_min[idx], tri_max[idx], mn[ax], mx[ax], tests_per_axis)
+                for ax in range(3)
+            ]
+            (cx, px), (cy, py), (cz, pz) = evals
+            # Exact axis-selection chain from BVHTree.hpp:229-243 (ties -> z).
+            if cx < cy and cx < cz:
+                axis, split_pos, best_cost = 0, px, cx
+            elif cy < cx and cy < cz:
+                axis, split_pos, best_cost = 1, py, cy
+            else:
+                axis, split_pos, best_cost = 2, pz, cz
 
         node_cost = float(_half_area(mn, mx) * len(idx))
         # Forced split for oversized nodes: the reference's strict
@@ -183,6 +239,14 @@ def build_bvh(
         oversized = len(idx) > FORCE_SPLIT_ABOVE
         if best_cost >= node_cost and not oversized:
             make_leaf(node_id, idx)
+            return node_id
+
+        if mode == "sweep":
+            # sorted-order partition: both sides always nonempty
+            left_idx = idx[split_ord[: split_k + 1]]
+            right_idx = idx[split_ord[split_k + 1:]]
+            child_a[node_id] = fill(left_idx, depth + 1)
+            child_b[node_id] = fill(right_idx, depth + 1)
             return node_id
 
         left_mask = cent[:, axis] <= split_pos

@@ -38,7 +38,20 @@ def _cached_bvh_build(v0, v1, v2, max_depth, min_leaf_size, builder, num):
     import hashlib
     import os
 
+    # sweep-SAH quality mode (accel/bvh.py build_bvh mode="sweep"):
+    # builder="sweep" or TRT_BVH_SWEEP=1 (env wins over "auto"/"numpy",
+    # but an explicit builder="native" keeps the native reference tree)
+    sweep = builder == "sweep" or (
+        builder in ("auto", "numpy")
+        and os.environ.get("TRT_BVH_SWEEP", "0") == "1"
+    )
+
     def build():
+        if sweep:
+            return build_bvh(
+                v0, v1, v2, max_depth=max_depth,
+                min_leaf_size=min_leaf_size, mode="sweep",
+            )
         if builder != "numpy":
             from .. import accel
 
@@ -61,6 +74,8 @@ def _cached_bvh_build(v0, v1, v2, max_depth, min_leaf_size, builder, num):
         return build()
     h = hashlib.sha256()
     h.update(_BVH_BUILDER_VERSION)
+    if sweep:  # extend the key only for the new mode: old entries stay valid
+        h.update(b"sweep")
     h.update(np.int64(max_depth).tobytes())
     h.update(np.int64(min_leaf_size).tobytes())
     for a in (v0, v1, v2):
