@@ -56,7 +56,7 @@ from .sorted_cast import park_dead_rays as _park
 
 def _direct_illumination(
     scene, cast, attrs, light_direction, point_lights, exact, shadows,
-    occ_cast=None, shadow_floor=0.4,
+    occ_cast=None, shadow_floor=0.4, clamp_floor=None,
 ):
     """Directional + point-light contribution at the hit points, with
     hard shadow rays (the disabled reference path, raycast.cu:263-287).
@@ -71,12 +71,20 @@ def _direct_illumination(
         ldir = normalize(jnp.asarray(light_direction, jnp.float32), exact=exact)
         cos_i = jnp.maximum(dot(attrs.normal, ldir), 0.0)
         if shadows:
+            # no shadow ray where the primary missed; with a caller-side
+            # clamp (whitted's clip(illum, 0.4, 1.0)) and no point
+            # lights, rays with cos_i <= clamp_floor also park: lit
+            # (cos_i) and shadowed (floor*cos_i) clip to the same value,
+            # so the occlusion answer is unobservable (bit-exact skip)
+            need = attrs.hit
+            if clamp_floor is not None and not point_lights:
+                need = need & (cos_i > clamp_floor)
             occ = (occ_cast or cast)(
                 scene,
                 *_park(
                     attrs.location + ldir * SHADOW_EPS,
                     jnp.broadcast_to(ldir, attrs.location.shape),
-                    attrs.hit,  # no shadow ray where the primary missed
+                    need,
                 ),
             )
             lit = occ.t >= FLT_MAX
@@ -186,7 +194,8 @@ def render_whitted(
         illum = _direct_illumination(
             scene, cast2, attrs, light_direction, point_lights, exact,
             shadows, occ_cast=occ_cast,
-        )
+            clamp_floor=0.4,  # matches the clip below: shadow rays with
+        )                     # cos <= 0.4 are unobservable and park
         illum = jnp.clip(illum, 0.4, 1.0)  # reference clamp (raycast.cu:289-290)
         rpack = jnp.stack(
             [scene.mat_reflectivity, scene.mat_illumination], axis=1

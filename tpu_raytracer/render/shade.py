@@ -322,11 +322,20 @@ def compute_illumination(
             cast = cast_fn if cast_fn is not None else occlusion_cast_fn(backend)
             shadow_origin = attrs.location + light_dir * SHADOW_EPS
             # no shadow ray where the primary missed: parked lanes fail
-            # the root box test so sky-dominated tiles cast for free
+            # the root box test so sky-dominated tiles cast for free.
+            # Clamp-aware parking: with no point lights, the final
+            # [0.4, 1.0] clamp (raycast.cu:289-290) maps lit (cos) and
+            # shadowed (0.4*cos) to the SAME 0.4 whenever cos <= 0.4 —
+            # the occlusion answer is unobservable there, so those rays
+            # (backfacing walls/ceilings, terminator bands) park too.
+            # Bit-exact: parked lanes miss -> lit -> clip(cos) = 0.4.
+            need_shadow = attrs.hit
+            if not point_lights:
+                need_shadow = need_shadow & (cos_illum > 0.4)
             occ = cast(scene, *park_dead_rays(
                 shadow_origin,
                 jnp.broadcast_to(light_dir, attrs.location.shape),
-                attrs.hit,
+                need_shadow,
             ))
             lit = occ.t >= FLT_MAX
             # Shadowed points keep the 0.4*cos ambient floor the
