@@ -71,14 +71,21 @@ def _direct_illumination(
         ldir = normalize(jnp.asarray(light_direction, jnp.float32), exact=exact)
         cos_i = jnp.maximum(dot(attrs.normal, ldir), 0.0)
         if shadows:
-            # no shadow ray where the primary missed; with a caller-side
-            # clamp (whitted's clip(illum, 0.4, 1.0)) and no point
-            # lights, rays with cos_i <= clamp_floor also park: lit
-            # (cos_i) and shadowed (floor*cos_i) clip to the same value,
-            # so the occlusion answer is unobservable (bit-exact skip)
-            need = attrs.hit
-            if clamp_floor is not None and not point_lights:
-                need = need & (cos_i > clamp_floor)
+            # no shadow ray where the primary missed. Rays with
+            # cos_i == 0 (light behind the surface) park too: lit
+            # (cos_i) and shadowed (floor*cos_i) are both 0, so the
+            # occlusion answer is unobservable — for cosine-scattered
+            # path bounces this parks roughly half the hit points.
+            # With a caller-side clamp (whitted's clip(illum, 0.4, 1))
+            # and no point lights the threshold rises to clamp_floor:
+            # both branches clip to the same value below it. Bit-exact
+            # either way (parked lanes miss -> the lit branch).
+            thresh = (
+                clamp_floor
+                if clamp_floor is not None and not point_lights
+                else 0.0
+            )
+            need = attrs.hit & (cos_i > thresh)
             occ = (occ_cast or cast)(
                 scene,
                 *_park(
