@@ -114,6 +114,81 @@ struct Builder {
     }
   }
 
+  // Exact SAH sweep on one axis (mirrors accel/bvh.py
+  // _eval_axis_sweep bit for bit): stable-sort by centroid, prefix /
+  // suffix f32 box areas, cost in f32 (numpy uses float32 counts, so
+  // no f64 promotion here), first-minimum tie-break. ``ord`` receives
+  // the sorted triangle ids; split is "after position k".
+  void eval_axis_sweep(const int32_t* idx, int n, int ax,
+                       float* best_cost, int* best_k,
+                       std::vector<int32_t>& ord) const {
+    ord.assign(idx, idx + n);
+    std::stable_sort(ord.begin(), ord.end(), [&](int32_t a, int32_t b) {
+      return cent[3 * a + ax] < cent[3 * b + ax];
+    });
+    // suffix boxes: rarea[i] = half_area of tris ord[i..n-1]
+    std::vector<float> rarea(n);
+    {
+      Box r;
+      for (int i = n - 1; i >= 0; --i) {
+        int k = ord[i];
+        r.grow(tri_min + 3 * k, tri_max + 3 * k);
+        rarea[i] = r.half_area();
+      }
+    }
+    Box l;
+    *best_cost = FLT_MAX;
+    *best_k = 0;
+    for (int i = 0; i < n - 1; ++i) {
+      int k = ord[i];
+      l.grow(tri_min + 3 * k, tri_max + 3 * k);
+      float cost = l.half_area() * float(i + 1) +
+                   rarea[i + 1] * (float(n) - float(i + 1));
+      if (cost < *best_cost) {
+        *best_cost = cost;
+        *best_k = i;
+      }
+    }
+  }
+
+  int fill_sweep(int32_t* idx, int n, int depth) {
+    Box box;
+    for (int i = 0; i < n; ++i)
+      box.grow(tri_min + 3 * idx[i], tri_max + 3 * idx[i]);
+    int id = new_node(box);
+
+    if (depth >= max_depth || n <= (min_leaf_size > 1 ? min_leaf_size : 1)) {
+      make_leaf(id, idx, n);
+      return id;
+    }
+
+    float sc[3];
+    int sk[3];
+    std::vector<int32_t> sord[3];
+    for (int ax = 0; ax < 3; ++ax)
+      eval_axis_sweep(idx, n, ax, &sc[ax], &sk[ax], sord[ax]);
+    // first-minimum across axes (numpy argmin)
+    int axis = 0;
+    if (sc[1] < sc[0]) axis = 1;
+    if (sc[2] < sc[axis]) axis = 2;
+    float best = sc[axis];
+    int k = sk[axis];
+    const std::vector<int32_t>& ord = sord[axis];
+
+    float node_cost = box.half_area() * float(n);
+    bool oversized = n > kForceSplitAbove;
+    if (best >= node_cost && !oversized) {
+      make_leaf(id, idx, n);
+      return id;
+    }
+
+    // sorted-order partition: both sides always nonempty
+    std::memcpy(idx, ord.data(), n * sizeof(int32_t));
+    child_a[id] = fill_sweep(idx, k + 1, depth + 1);
+    child_b[id] = fill_sweep(idx + k + 1, n - (k + 1), depth + 1);
+    return id;
+  }
+
   int fill(int32_t* idx, int n, int depth) {
     Box box;
     for (int i = 0; i < n; ++i)
@@ -204,13 +279,15 @@ extern "C" {
 // Returns the number of nodes written. Output buffers must hold at
 // least (2*num_tris - 1) nodes (worst case for a binary tree with >=1
 // triangle per leaf) and num_tris order entries.
-int32_t trt_build_bvh(const float* v0, const float* v1, const float* v2,
-                      int32_t num_tris, int32_t max_depth,
-                      int32_t tests_per_axis, int32_t min_leaf_size,
-                      float* out_node_min,
-                      float* out_node_max, int32_t* out_child_a,
-                      int32_t* out_child_b, int32_t* out_leaf_start,
-                      int32_t* out_leaf_count, int32_t* out_order) {
+// mode 0 = reference 5-candidate search; mode 1 = exact SAH sweep
+// (mirrors accel/bvh.py build_bvh mode="sweep" bit for bit).
+static int32_t build_impl(const float* v0, const float* v1, const float* v2,
+                          int32_t num_tris, int32_t max_depth,
+                          int32_t tests_per_axis, int32_t min_leaf_size,
+                          int32_t mode, float* out_node_min,
+                          float* out_node_max, int32_t* out_child_a,
+                          int32_t* out_child_b, int32_t* out_leaf_start,
+                          int32_t* out_leaf_count, int32_t* out_order) {
   std::vector<float> tri_min(3 * num_tris), tri_max(3 * num_tris),
       cent(3 * num_tris);
   for (int i = 0; i < num_tris; ++i) {
@@ -241,6 +318,8 @@ int32_t trt_build_bvh(const float* v0, const float* v1, const float* v2,
     Box empty;
     int id = builder.new_node(empty);
     builder.make_leaf(id, idx.data(), 0);
+  } else if (mode == 1) {
+    builder.fill_sweep(idx.data(), num_tris, 1);
   } else {
     builder.fill(idx.data(), num_tris, 1);
   }
@@ -255,6 +334,31 @@ int32_t trt_build_bvh(const float* v0, const float* v1, const float* v2,
   std::memcpy(out_order, builder.order.data(),
               builder.order.size() * sizeof(int32_t));
   return n;
+}
+
+int32_t trt_build_bvh(const float* v0, const float* v1, const float* v2,
+                      int32_t num_tris, int32_t max_depth,
+                      int32_t tests_per_axis, int32_t min_leaf_size,
+                      float* out_node_min, float* out_node_max,
+                      int32_t* out_child_a, int32_t* out_child_b,
+                      int32_t* out_leaf_start, int32_t* out_leaf_count,
+                      int32_t* out_order) {
+  return build_impl(v0, v1, v2, num_tris, max_depth, tests_per_axis,
+                    min_leaf_size, 0, out_node_min, out_node_max,
+                    out_child_a, out_child_b, out_leaf_start,
+                    out_leaf_count, out_order);
+}
+
+int32_t trt_build_bvh_sweep(const float* v0, const float* v1,
+                            const float* v2, int32_t num_tris,
+                            int32_t max_depth, int32_t min_leaf_size,
+                            float* out_node_min, float* out_node_max,
+                            int32_t* out_child_a, int32_t* out_child_b,
+                            int32_t* out_leaf_start,
+                            int32_t* out_leaf_count, int32_t* out_order) {
+  return build_impl(v0, v1, v2, num_tris, max_depth, 0, min_leaf_size, 1,
+                    out_node_min, out_node_max, out_child_a, out_child_b,
+                    out_leaf_start, out_leaf_count, out_order);
 }
 
 }  // extern "C"

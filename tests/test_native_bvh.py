@@ -41,3 +41,15 @@ def test_native_respects_max_depth():
     v0, v1, v2 = procgen.icosphere(3)
     b = build_bvh_native(v0, v1, v2, max_depth=6)
     assert b.stats()["max_depth"] <= 6
+
+
+def test_native_sweep_bit_identical():
+    """mode="sweep" must match the numpy sweep builder exactly (same
+    contract as the reference-mode bit-identity above)."""
+    v0, v1, v2 = procgen.colonnade(3, 3, 12)
+    a = build_bvh(v0, v1, v2, min_leaf_size=16, mode="sweep")
+    b = build_bvh_native(v0, v1, v2, min_leaf_size=16, mode="sweep")
+    for f in FIELDS:
+        np.testing.assert_array_equal(
+            getattr(a, f), getattr(b, f), err_msg=f
+        )

@@ -43,6 +43,14 @@ def _load() -> ctypes.CDLL | None:
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             f32p, f32p, i32p, i32p, i32p, i32p, i32p,
         ]
+        # sweep entry point (older cached .so builds may predate it)
+        if hasattr(lib, "trt_build_bvh_sweep"):
+            lib.trt_build_bvh_sweep.restype = ctypes.c_int32
+            lib.trt_build_bvh_sweep.argtypes = [
+                f32p, f32p, f32p,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                f32p, f32p, i32p, i32p, i32p, i32p, i32p,
+            ]
         _lib = lib
     except Exception:
         _lib_failed = True
@@ -61,12 +69,18 @@ def build_bvh_native(
     max_depth: int = 48,
     tests_per_axis: int = 5,
     min_leaf_size: int = 1,
+    mode: str = "reference",
 ) -> BVHArrays:
     """Build a BVH with the C++ builder. Raises RuntimeError when the
-    native library is unavailable (callers fall back to numpy)."""
+    native library is unavailable (callers fall back to numpy).
+    ``mode="sweep"`` selects the exact-SAH sweep (bit-identical to
+    accel/bvh.py build_bvh(mode="sweep"))."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native BVH builder unavailable")
+    if mode == "sweep" and not hasattr(lib, "trt_build_bvh_sweep"):
+        raise RuntimeError("native builder .so predates sweep mode "
+                           "(make -C native clean all)")
     v0 = np.ascontiguousarray(v0, np.float32).reshape(-1, 3)
     v1 = np.ascontiguousarray(v1, np.float32).reshape(-1, 3)
     v2 = np.ascontiguousarray(v2, np.float32).reshape(-1, 3)
@@ -79,12 +93,20 @@ def build_bvh_native(
     leaf_start = np.empty(cap, np.int32)
     leaf_count = np.empty(cap, np.int32)
     order = np.empty(max(t, 1), np.int32)
-    n = lib.trt_build_bvh(
-        v0.reshape(-1), v1.reshape(-1), v2.reshape(-1),
-        t, max_depth, tests_per_axis, min_leaf_size,
-        node_min.reshape(-1), node_max.reshape(-1),
-        child_a, child_b, leaf_start, leaf_count, order,
-    )
+    if mode == "sweep":
+        n = lib.trt_build_bvh_sweep(
+            v0.reshape(-1), v1.reshape(-1), v2.reshape(-1),
+            t, max_depth, min_leaf_size,
+            node_min.reshape(-1), node_max.reshape(-1),
+            child_a, child_b, leaf_start, leaf_count, order,
+        )
+    else:
+        n = lib.trt_build_bvh(
+            v0.reshape(-1), v1.reshape(-1), v2.reshape(-1),
+            t, max_depth, tests_per_axis, min_leaf_size,
+            node_min.reshape(-1), node_max.reshape(-1),
+            child_a, child_b, leaf_start, leaf_count, order,
+        )
     return BVHArrays(
         node_min=node_min[:n].copy(),
         node_max=node_max[:n].copy(),

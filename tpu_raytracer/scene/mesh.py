@@ -48,6 +48,17 @@ def _cached_bvh_build(v0, v1, v2, max_depth, min_leaf_size, builder, num):
 
     def build():
         if sweep:
+            if builder != "numpy" and num >= 4096:
+                from .. import accel
+
+                if accel.native.native_available():
+                    try:
+                        return accel.native.build_bvh_native(
+                            v0, v1, v2, max_depth=max_depth,
+                            min_leaf_size=min_leaf_size, mode="sweep",
+                        )
+                    except RuntimeError:
+                        pass  # stale .so without the sweep entry point
             return build_bvh(
                 v0, v1, v2, max_depth=max_depth,
                 min_leaf_size=min_leaf_size, mode="sweep",
