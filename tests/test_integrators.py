@@ -134,3 +134,35 @@ def test_occlusion_shadow_cast_matches_nearest(monkeypatch):
     off = np.asarray(render_whitted(arrays, o, d, max_bounces=1,
                                     backend="pallas"))
     np.testing.assert_array_equal(on, off)
+
+
+def test_path_fast_tail_bit_exact(monkeypatch):
+    """With no emissive materials (and no NEE) the path tracer's FINAL
+    bounce collapses to the ANY-HIT occlusion cast (integrators.py
+    fast_tail): the image must bit-match the nearest-hit tail through
+    the real packet kernels — hit-vs-miss is decided by the same
+    intersection predicate either way."""
+    arrays, cam = cornell_scene(mirror=True)
+    assert not arrays.has_emissive
+    o, d = _rays(cam)
+    key = jax.random.PRNGKey(7)
+    monkeypatch.setenv("TRT_PATH_TAIL", "0")
+    base = np.asarray(render_path_traced(
+        arrays, o, d, key, max_bounces=2, samples=1, backend="pallas"))
+    monkeypatch.setenv("TRT_PATH_TAIL", "1")
+    fast = np.asarray(render_path_traced(
+        arrays, o, d, key, max_bounces=2, samples=1, backend="pallas"))
+    np.testing.assert_array_equal(fast, base)
+
+
+def test_path_fast_tail_emissive_gate():
+    """Scenes with emissive materials keep the nearest-hit tail: the
+    static has_emissive flag gates the rewrite at trace time (final-
+    bounce emission needs the nearest hit's material)."""
+    scene = Scene()
+    scene.add_material(Material(albedo=(0.9, 0.9, 0.9), illumination=0.8))
+    v0, v1, v2 = procgen.blob(subdivisions=2)
+    scene.add_mesh(MeshPrimitive.from_triangles(v0, v1, v2))
+    scene.add_mesh_instance(MeshInstance(0, 0))
+    arrays = scene.compile()
+    assert arrays.has_emissive

@@ -310,6 +310,23 @@ def render_path_traced(
     cast2 = _secondary_cast_fn(cast, backend, sort_secondary)
     occ_cast = occlusion_cast_fn(backend)
     nee = light_direction is not None or bool(point_lights)
+    # FAST TAIL: with no emissive materials and no NEE, the FINAL
+    # bounce's nearest-hit cast is observable only as hit-vs-miss
+    # (miss adds throughput * sky; a hit adds emit == 0 and the loop
+    # ends), so it collapses to the ANY-HIT occlusion cast — on the
+    # packet kernels a lane stops traversing at its FIRST accepted hit
+    # instead of refining nearest-t across the whole node union, the
+    # dominant cost for incoherent bounce rays. Bit-exact by
+    # construction (same intersection predicate decides the boolean).
+    # scene.has_emissive is a STATIC flag: the choice is made at trace
+    # time (the r3 lesson — never gate dead casts on traced scalars).
+    fast_tail = (
+        not nee
+        and not scene.has_emissive
+        and max_bounces >= 1
+        and os.environ.get("TRT_PATH_TAIL", "1") != "0"
+    )
+    occ2 = _secondary_cast_fn(occ_cast, backend, sort_secondary)
     directions = jnp.asarray(directions, jnp.float32)
     origin = jnp.broadcast_to(jnp.asarray(origin, jnp.float32), directions.shape)
     shape = directions.shape[:-1]
@@ -417,6 +434,16 @@ def render_path_traced(
         state = bounce_from_attrs(state, a0, keys[0])
         for b in range(1, max_bounces + 1):
             o, d = state[0], state[1]
+            if fast_tail and b == max_bounces:
+                # final bounce: boolean visibility is the whole answer
+                throughput, radiance, active = state[2], state[3], state[4]
+                sky = sky_radiance(scene, d, exact=exact) * sky_strength
+                miss = active & (occ2(scene, o, d).t >= FLT_MAX)
+                radiance = radiance + jnp.where(
+                    miss[..., None], throughput * sky, 0.0
+                )
+                state = (o, d, throughput, radiance, active)
+                break
             hit = cast2(scene, o, d)
             attrs = hit_attributes(scene, o, d, hit, exact=exact,
                                    normal_mode=normal_mode)

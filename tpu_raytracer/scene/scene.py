@@ -121,6 +121,15 @@ class SceneArrays:
     has_textures: bool = dataclasses.field(
         default=True, metadata=dict(static=True)
     )
+    # STATIC mirror of `(mat_illumination > 0).any()` — lets the path
+    # tracer's FINAL bounce skip the nearest-hit cast entirely: with no
+    # emissive materials the last cast's only observable output is
+    # hit-vs-miss (miss -> sky, hit -> nothing), which the cheap
+    # ANY-HIT occlusion kernel answers with first-hit early-out
+    # (renderer.occlusion_cast_fn). Default True = conservative.
+    has_emissive: bool = dataclasses.field(
+        default=True, metadata=dict(static=True)
+    )
     # HBM-paging tables (kernels/paged.py PagedTables) for beyond-VMEM
     # scenes, attached by Scene.compile / ensure_paged. Riding inside
     # the scene pytree lets the paged tables cross every jit boundary
@@ -183,7 +192,7 @@ class SceneArrays:
             for f in dataclasses.fields(self)
             # derived tables / static flags; rebuilt on demand after load
             if f.name not in ("paged", "tlas", "wide4", "has_sky",
-                              "has_textures")
+                              "has_textures", "has_emissive")
             and getattr(self, f.name) is not None  # optional tri_vnorm
         }
         np.savez_compressed(fp, **arrays)
@@ -201,6 +210,9 @@ class SceneArrays:
         kw["has_sky"] = bool(np.asarray(kw["sky_tex_start"]) >= 0)
         kw["has_textures"] = bool(
             (np.asarray(kw["mat_tex_start"]) >= 0).any()
+        )
+        kw["has_emissive"] = bool(
+            (np.asarray(kw["mat_illumination"]) > 0).any()
         )
         return cls(**kw)
 
@@ -569,6 +581,7 @@ class Scene:
             sky_tex_h=i32(sky_h),
             has_sky=self.sky_texture is not None,
             has_textures=any(s >= 0 for s in tex_start),
+            has_emissive=any(m.illumination > 0 for m in self.materials),
             tri_vnorm=(
                 f32(cat(vnorm_parts))
                 if any(m.vn0 is not None for m in self.meshes) else None
