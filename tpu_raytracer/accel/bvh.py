@@ -163,8 +163,11 @@ def build_bvh(
     EVERY centroid-sorted split position per axis (exact SAH sweep) —
     a beyond-reference quality mode producing measurably cheaper trees
     for the pop-latency-bound packet kernels. Same cost model and
-    termination rules; images are identical either way (a BVH only
-    changes visit order, never hits)."""
+    termination rules. A tree change can only affect the image at
+    EXACT t-ties (shared mesh edges, where traversal order breaks the
+    tie) — sub-pixel-rare on primary rays, but a path tracer amplifies
+    one flipped edge hit into downstream bounce differences, so
+    goldens are regenerated when the default builder changes."""
     v0 = np.asarray(v0, np.float32)
     v1 = np.asarray(v1, np.float32)
     v2 = np.asarray(v2, np.float32)
