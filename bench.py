@@ -56,16 +56,18 @@ def main():
     img = np.asarray(frame())  # compile + warm
     rays = cam.width * cam.height
 
-    # best of 3 pipelined reps: single-rep readings vary ~+-4% with
+    # best-of pipelined reps: single-rep readings vary ~+-5% with
     # tunnel/host noise; best-of is the honest steady-state throughput.
     # The axon tunnel has a multi-second cold phase after idle periods
     # (a fresh process can read ~2.5x slow for its first minute even
-    # after compile warmup) — run reps until the best-of stops
-    # improving, minimum 3, bounded at 12.
+    # after compile warmup) and multi-minute slow "weather" phases —
+    # run reps until the best-of stops improving (patience 3, minimum
+    # 4, bounded at 20) so a cold snapshot converges to the same
+    # steady state a warm one reads.
     n_iters = 10
     elapsed = float("inf")
     reps_since_improved = 0
-    for rep in range(12):
+    for rep in range(20):
         start = time.perf_counter()
         for _ in range(n_iters):
             out = frame()
@@ -77,7 +79,7 @@ def main():
         else:
             elapsed = min(elapsed, dt)
             reps_since_improved += 1
-        if rep >= 2 and reps_since_improved >= 2:
+        if rep >= 3 and reps_since_improved >= 3:
             break
 
     mrays = rays * n_iters / elapsed / 1e6
