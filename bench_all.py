@@ -162,12 +162,16 @@ def config_colonnade():
 
 def config_colonnade_path():
     # Recorded at 32x64 packets (PERF_LOG "path packet sweep": +10% on
-    # bounce-dominated frames). Must happen before the lazy kernel
-    # import below; the subprocess isolation means this can't leak into
-    # other configs. An explicit TRT_PIX_H env always wins.
+    # bounce-dominated frames) with 2 reinsertion-optimizer rounds on
+    # the tree (PERF_LOG r4: +3.4% reproducible; the optimizer's SAH
+    # gain concentrates in exactly the union-critical nodes bounce
+    # casts pay for). Must happen before the lazy kernel import below;
+    # the subprocess isolation means this can't leak into other
+    # configs. Explicit envs always win.
     import os
 
     os.environ.setdefault("TRT_PIX_H", "32")
+    os.environ.setdefault("TRT_BVH_OPT", "2")
     from tpu_raytracer.app import scenes
     from tpu_raytracer.app.controls import fly_through
     from tpu_raytracer.core import transforms as T

@@ -176,9 +176,14 @@ def optimize_bvh(
                     mx = np.maximum(node_max[out], bx_max)
                     a_union = float(_half_area(mn, mx))
                     total = induced + a_union
-                    # new internal node lands at depth d; subtree x
-                    # roots at d+1; deepest leaf at d + 1 + hx
-                    if total < best_cost and d + 1 + hx <= max_depth:
+                    # new internal node lands at depth d; BOTH subtrees
+                    # (x and the displaced out) root at d+1, so both
+                    # deepest-leaf depths must clear the kernel stack
+                    # cap: d + 1 + max(hx, height(out)) <= max_depth
+                    if (
+                        total < best_cost
+                        and d + 1 + max(hx, int(height[out])) <= max_depth
+                    ):
                         best_cost, best_out, best_depth = total, out, d
                     if child_a[out] >= 0:
                         a_out = float(_half_area(node_min[out], node_max[out]))

@@ -103,7 +103,7 @@ def _cached_bvh_build(v0, v1, v2, max_depth, min_leaf_size, builder, num):
     if sweep:  # extend the key only for the new mode: old entries stay valid
         h.update(b"sweep")
     if opt_rounds > 0:
-        h.update(b"opt%d" % opt_rounds)
+        h.update(b"opt%d-v2" % opt_rounds)  # v2: both-subtree depth cap
     h.update(np.int64(max_depth).tobytes())
     h.update(np.int64(min_leaf_size).tobytes())
     for a in (v0, v1, v2):
