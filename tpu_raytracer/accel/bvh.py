@@ -151,12 +151,20 @@ def build_bvh(
     tests_per_axis: int = 5,
     min_leaf_size: int = 1,
     mode: str = "reference",
+    refs=None,
 ) -> BVHArrays:
     """Build a BVH over triangles given as three [T, 3] vertex arrays.
 
     ``min_leaf_size``: stop splitting below this count (the reference
     stops at 1, BVHTree.hpp:214; larger values trade node visits for
     triangle tests, a packet-traversal tuning knob).
+
+    ``refs``: optional ``(ref_tri, ref_min, ref_max)`` from
+    ``presplit.presplit_refs`` — the build then partitions split
+    REFERENCES (box centers as centroids, clipped boxes as bounds) and
+    the returned ``order`` maps leaf slots to original triangles WITH
+    DUPLICATES. Everything downstream fancy-indexes per-triangle arrays
+    by ``order``, so duplicated refs are transparent.
 
     ``mode``: "reference" reproduces the reference's 5-candidate
     uniform split search exactly (BVHTree.hpp:294-361); "sweep" costs
@@ -171,10 +179,19 @@ def build_bvh(
     v0 = np.asarray(v0, np.float32)
     v1 = np.asarray(v1, np.float32)
     v2 = np.asarray(v2, np.float32)
-    num_tris = len(v0)
-    centroids = (v0 + v1 + v2) / np.float32(3.0)
-    tri_min = np.minimum(np.minimum(v0, v1), v2)
-    tri_max = np.maximum(np.maximum(v0, v1), v2)
+    if refs is not None:
+        ref_tri, tri_min, tri_max = refs
+        ref_tri = np.asarray(ref_tri, np.int64)
+        tri_min = np.asarray(tri_min, np.float32)
+        tri_max = np.asarray(tri_max, np.float32)
+        num_tris = len(ref_tri)
+        centroids = np.float32(0.5) * (tri_min + tri_max)
+    else:
+        ref_tri = None
+        num_tris = len(v0)
+        centroids = (v0 + v1 + v2) / np.float32(3.0)
+        tri_min = np.minimum(np.minimum(v0, v1), v2)
+        tri_max = np.maximum(np.maximum(v0, v1), v2)
 
     node_min, node_max = [], []
     child_a, child_b = [], []
@@ -275,6 +292,13 @@ def build_bvh(
     else:
         fill(np.arange(num_tris, dtype=np.int64), 1)
 
+    order_arr = (
+        np.concatenate(order).astype(np.int64)
+        if order_len
+        else np.zeros(0, np.int64)
+    )
+    if ref_tri is not None:
+        order_arr = ref_tri[order_arr]  # ref slot -> original triangle
     return BVHArrays(
         node_min=np.asarray(node_min, np.float32),
         node_max=np.asarray(node_max, np.float32),
@@ -282,9 +306,5 @@ def build_bvh(
         child_b=np.asarray(child_b, np.int32),
         leaf_start=np.asarray(leaf_start, np.int32),
         leaf_count=np.asarray(leaf_count, np.int32),
-        order=(
-            np.concatenate(order).astype(np.int32)
-            if order_len
-            else np.zeros(0, np.int32)
-        ),
+        order=order_arr.astype(np.int32),
     )

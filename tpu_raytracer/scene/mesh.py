@@ -52,6 +52,12 @@ def _cached_bvh_build(v0, v1, v2, max_depth, min_leaf_size, builder, num):
     # SAH gain over the sweep tree is a few percent (the sweep is
     # already near the object-split optimum at leaf granularity).
     opt_rounds = int(os.environ.get("TRT_BVH_OPT", "0"))
+    # TRT_BVH_PRESPLIT=<budget factor>: pre-split oversized triangles
+    # into multiple clipped-box refs before the build
+    # (accel/presplit.py). No-op on uniform meshes (area gate); images
+    # bit-identical (same triangle records, different node membership).
+    presplit = float(os.environ.get("TRT_BVH_PRESPLIT", "0"))
+    presplit_gate = float(os.environ.get("TRT_PRESPLIT_GATE", "16"))
 
     def build():
         bvh = _build_tree()
@@ -62,6 +68,19 @@ def _cached_bvh_build(v0, v1, v2, max_depth, min_leaf_size, builder, num):
         return bvh
 
     def _build_tree():
+        if presplit > 0:
+            from ..accel.presplit import presplit_refs
+
+            refs = presplit_refs(
+                v0, v1, v2, budget_factor=presplit,
+                gate_mult=presplit_gate,
+            )
+            if refs is not None:  # None -> normal (native-capable) path
+                return build_bvh(
+                    v0, v1, v2, max_depth=max_depth,
+                    min_leaf_size=min_leaf_size,
+                    mode="sweep" if sweep else "reference", refs=refs,
+                )
         if sweep:
             if builder != "numpy" and num >= 4096:
                 from .. import accel
@@ -104,6 +123,8 @@ def _cached_bvh_build(v0, v1, v2, max_depth, min_leaf_size, builder, num):
         h.update(b"sweep")
     if opt_rounds > 0:
         h.update(b"opt%d-v2" % opt_rounds)  # v2: both-subtree depth cap
+    if presplit > 0:
+        h.update(b"presplit%r-%r" % (presplit, presplit_gate))
     h.update(np.int64(max_depth).tobytes())
     h.update(np.int64(min_leaf_size).tobytes())
     for a in (v0, v1, v2):
