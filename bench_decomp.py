@@ -34,13 +34,50 @@ def report(name, dt):
                       "fps": round(1 / dt, 2)}), flush=True)
 
 
+def _instances_notex(width, height):
+    """scene_instances with the textured floor swapped for plain
+    albedo — isolates the texture-sampling cost per shaded stage."""
+    from tpu_raytracer.render import Camera
+    from tpu_raytracer.scene import (Material, MeshInstance, MeshPrimitive,
+                                     Scene, objloader, procgen)
+
+    scene = Scene()
+    matte = scene.add_material(Material(albedo=(0.9, 0.9, 0.9)))
+    blue = scene.add_material(Material(albedo=(0.9, 0.2, 0.1)))
+    mirror = scene.add_material(Material(albedo=(0.95, 0.95, 0.95),
+                                         reflectivity=0.8))
+    grey = scene.add_material(Material(albedo=(0.6, 0.6, 0.6)))
+    sphere = scene.add_mesh(MeshPrimitive.from_triangles(*procgen.icosphere(4)))
+    cube = scene.add_mesh(objloader.loads(procgen.cube_obj()))
+    board = scene.add_mesh(objloader.loads(procgen.board_obj(8, 8)))
+    floor = MeshInstance(board, grey)
+    floor.pose = np.array([0, 2, -1.2, 0, 0, np.pi], np.float32)
+    scene.add_mesh_instance(floor)
+    a = MeshInstance(sphere, mirror)
+    a.pose = np.array([-1.2, 2.5, 0.0, 0, 0, 0], np.float32)
+    scene.add_mesh_instance(a)
+    b = MeshInstance(cube, blue)
+    b.pose = np.array([1.1, 2.0, -0.6, 0.5, 0, 0], np.float32)
+    b.scale = np.array([0.8, 0.8, 1.4], np.float32)
+    scene.add_mesh_instance(b)
+    c = MeshInstance(sphere, matte)
+    c.pose = np.array([0.3, 3.5, -0.7, 0, 0, 0], np.float32)
+    c.scale = np.array([0.5, 0.5, 0.5], np.float32)
+    scene.add_mesh_instance(c)
+    cam = Camera.looking(width, height, fov_deg=60.0,
+                         pose=[0, -1.5, 0.3, 0, 0, 0])
+    return scene.compile(flatten_static=True), cam
+
+
 def whitted():
     from tpu_raytracer.app import scenes
     from tpu_raytracer.render import RenderConfig, render_image_whitted, render_image
 
     backend = "pallas" if jax.default_backend() == "tpu" else "bvh"
-    for flatten, tag in ((True, "flat"), (False, "inst")):
-        arrays, cam = scenes.scene_instances(512, 512, flatten=flatten)
+    variants = [("flat", lambda: scenes.scene_instances(512, 512, flatten=True)),
+                ("notex", lambda: _instances_notex(512, 512))]
+    for tag, mk in variants:
+        arrays, cam = mk()
         cfg = RenderConfig(cam.width, cam.height, backend=backend)
         p = cam.ray_params()
         args = (cfg, arrays, p["K_inv"], p["D"], p["pose"], p["inv_pose"])

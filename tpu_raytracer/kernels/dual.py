@@ -933,10 +933,13 @@ def cast_rays_dual(scene: SceneArrays, origin, directions, interpret=None,
     # attrs.normal): 3 pure selects per tested row — bit-exact on every
     # platform (no arithmetic) — but the LOCATION shortcut it unlocks
     # (plane point from hit.t) shares carry_uv's interpret caveat, so
-    # it takes the same gate.
+    # it takes the same gate. TRT_CARRY_N overrides independently (the
+    # 3 extra state tiles vs a [T, 3] normal gather is a per-workload
+    # tradeoff; attrs falls back to the gather when n is not carried).
+    env_n = os.environ.get("TRT_CARRY_N", env_uv)
     carry_n = (
         want_normals and not occlusion
-        and (env_uv == "1" if env_uv is not None else not interpret)
+        and (env_n == "1" if env_n is not None else not interpret)
     )
     directions = jnp.asarray(directions, jnp.float32)
     origin = jnp.asarray(origin, jnp.float32)

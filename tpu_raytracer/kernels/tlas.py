@@ -660,9 +660,10 @@ def cast_rays_tlas(scene: SceneArrays, origin, directions, interpret=None,
         scene.has_textures and not occlusion
         and (env_uv == "1" if env_uv is not None else not interpret)
     )
+    env_n = _os.environ.get("TRT_CARRY_N", env_uv)
     carry_n = (
         want_normals and not occlusion
-        and (env_uv == "1" if env_uv is not None else not interpret)
+        and (env_n == "1" if env_n is not None else not interpret)
     )
     directions = jnp.asarray(directions, jnp.float32)
     origin = jnp.asarray(origin, jnp.float32)

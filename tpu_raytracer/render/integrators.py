@@ -339,12 +339,18 @@ def render_path_traced(
         radiance = radiance + jnp.where(miss[..., None], throughput * sky, 0.0)
         live = active & attrs.hit
         color = surface_color(scene, attrs, tex_filter=tex_filter)
-        emit = scene.mat_illumination[attrs.material]
+        # one packed [M, 3] material gather (illum/refl/rough) instead
+        # of three 1-element gathers — TPU gathers cost per op + element
+        mpack = jnp.stack(
+            [scene.mat_illumination, scene.mat_reflectivity,
+             scene.mat_roughness], axis=1
+        )[attrs.material]
+        emit = mpack[..., 0]
         radiance = radiance + jnp.where(
             live[..., None], throughput * emit[..., None], 0.0
         )
         throughput = throughput * jnp.where(live[..., None], color, 1.0)
-        refl = scene.mat_reflectivity[attrs.material]
+        refl = mpack[..., 1]
         if nee:
             # direct delta-light term on the diffuse part of the lobe
             # mix: T * (1-refl) * albedo/pi * cos_i * vis * intensity
@@ -363,7 +369,7 @@ def render_path_traced(
         # under the surface. When every reflectivity is 0 the selects
         # all pick d_diff — identical output, and the extra VPU ops
         # are noise next to a cast.
-        rough = scene.mat_roughness[attrs.material][..., None]
+        rough = mpack[..., 2][..., None]
         mirror = _reflect(d, attrs.normal)
         d_spec = normalize(
             (1.0 - rough) * mirror + rough * d_diff, exact=exact

@@ -249,12 +249,16 @@ def hit_attributes(
     tri = jnp.maximum(hit.tri, 0)
     inst = jnp.maximum(hit.inst, 0)
 
-    # one [I, 18] gather for all per-instance transform fields
+    # one [I, 18] gather for all per-instance transform fields. With a
+    # SINGLE instance the clamped index is statically 0 — the gather
+    # is a row-0 broadcast, so skip it (drops 18 gathered elements per
+    # ray per shaded stage — TPU gathers cost per element, PERF_LOG
+    # r3 — and turns the per-ray euler trig into hoistable scalars).
     ipack = jnp.concatenate(
         [scene.inst_pose, scene.inst_inv_pose, scene.inst_scale,
          scene.inst_inv_scale], axis=1
     )
-    irec = ipack[inst]
+    irec = ipack[0] if scene.inst_pose.shape[0] == 1 else ipack[inst]
     inst_pose = irec[..., 0:6]
     inst_inv_pose = irec[..., 6:12]
     scale = irec[..., 12:15]
@@ -351,7 +355,9 @@ def hit_attributes(
     # per-triangle material override (flattened static scenes bake the
     # source instance's material into tri_mat; -1 = resolve via inst)
     tmat = scene.tri_mat[tri]
-    material = jnp.where(tmat >= 0, tmat, scene.inst_material[inst])
+    imat = (scene.inst_material[0] if scene.inst_pose.shape[0] == 1
+            else scene.inst_material[inst])
+    material = jnp.where(tmat >= 0, tmat, imat)
     return HitAttributes(
         hit=ok,
         t=hit.t,
