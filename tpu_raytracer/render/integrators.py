@@ -334,6 +334,7 @@ def render_path_traced(
 
     def bounce_from_attrs(state, attrs, key_b):
         o, d, throughput, radiance, active = state
+        lshape = active.shape  # (samples,)+shape when sample-batched
         miss = active & ~attrs.hit
         sky = sky_radiance(scene, d, exact=exact) * sky_strength
         radiance = radiance + jnp.where(miss[..., None], throughput * sky, 0.0)
@@ -377,7 +378,7 @@ def render_path_traced(
         d_spec = jnp.where(
             (dot(d_spec, attrs.normal) > 0.0)[..., None], d_spec, d_diff
         )
-        u = jax.random.uniform(jax.random.fold_in(key_b, 3), shape)
+        u = jax.random.uniform(jax.random.fold_in(key_b, 3), lshape)
         d_new = jnp.where((u < refl)[..., None], d_spec, d_diff)
         o_new = attrs.location + d_new * SHADOW_EPS
         o_next, d_next = _park(
@@ -408,6 +409,56 @@ def render_path_traced(
         right = normalize(jnp.cross(axis, ref), exact=exact)
         up = jnp.cross(right, axis)
 
+    def run_bounces(state, a0, keys):
+        """Bounce chain from primary attrs to final radiance. State is
+        shape-polymorphic: per-sample under the scan, (samples,)+shape
+        under the sample-batched wavefront."""
+        state = bounce_from_attrs(state, a0, keys[0])
+        for b in range(1, max_bounces + 1):
+            o, d = state[0], state[1]
+            if fast_tail and b == max_bounces:
+                # final bounce: boolean visibility is the whole answer
+                throughput, radiance, active = state[2], state[3], state[4]
+                sky = sky_radiance(scene, d, exact=exact) * sky_strength
+                miss = active & (occ2(scene, o, d).t >= FLT_MAX)
+                radiance = radiance + jnp.where(
+                    miss[..., None], throughput * sky, 0.0
+                )
+                return radiance
+            hit = cast2(scene, o, d)
+            attrs = hit_attributes(scene, o, d, hit, exact=exact,
+                                   normal_mode=normal_mode)
+            state = bounce_from_attrs(state, attrs, keys[b])
+        return state[3]
+
+    # SAMPLE-BATCHED WAVEFRONT (TRT_PATH_SAMPLE_BATCH=1): run all S
+    # samples as one (S,)+shape ray batch instead of a sequential scan.
+    # Bounce casts then hand the coherence sorter an S-times denser ray
+    # pool — the S bounce rays of a pixel share their ORIGIN (the same
+    # primary hit), so their morton keys collide and they pack into the
+    # same tiles: each packet spans ~1/S the spatial extent, shrinking
+    # the traversed node union (the measured wall for incoherent
+    # bounces, PERF_LOG r3). Same estimator/distribution, different
+    # random stream than the scan (draws are shaped (S,)+shape rather
+    # than per-sample), so images differ sample-noise-level only.
+    sample_batch = (
+        samples > 1 and not dof
+        and os.environ.get("TRT_PATH_SAMPLE_BATCH", "0") != "0"
+    )
+    if sample_batch:
+        bshape = (samples,) + shape
+        bc = lambda a: jnp.broadcast_to(a[None], (samples,) + a.shape)
+        a0 = type(attrs0)(*(bc(x) for x in attrs0))
+        state = (
+            bc(origin),
+            bc(directions),
+            jnp.ones(bshape + (3,), jnp.float32),
+            jnp.zeros(bshape + (3,), jnp.float32),
+            jnp.ones(bshape, bool),
+        )
+        keys = jax.random.split(key, max_bounces + 1)
+        return jnp.mean(run_bounces(state, a0, keys), axis=0)
+
     def one_sample(carry, key):
         keys = jax.random.split(key, max_bounces + 2)
         o0, d0 = origin, directions
@@ -423,6 +474,12 @@ def render_path_traced(
             focal = origin + directions * focus_distance
             o0 = jnp.broadcast_to(origin, directions.shape) + off
             d0 = normalize(focal - o0, exact=exact)
+            a0 = hit_attributes(
+                scene, o0, d0, cast(scene, o0, d0), exact=exact,
+                normal_mode=normal_mode,
+            )
+        else:
+            a0 = attrs0
         state = (
             o0,
             d0,
@@ -430,32 +487,7 @@ def render_path_traced(
             jnp.zeros(shape + (3,), jnp.float32),
             jnp.ones(shape, bool),
         )
-        if dof:
-            a0 = hit_attributes(
-                scene, o0, d0, cast(scene, o0, d0), exact=exact,
-                normal_mode=normal_mode,
-            )
-        else:
-            a0 = attrs0
-        state = bounce_from_attrs(state, a0, keys[0])
-        for b in range(1, max_bounces + 1):
-            o, d = state[0], state[1]
-            if fast_tail and b == max_bounces:
-                # final bounce: boolean visibility is the whole answer
-                throughput, radiance, active = state[2], state[3], state[4]
-                sky = sky_radiance(scene, d, exact=exact) * sky_strength
-                miss = active & (occ2(scene, o, d).t >= FLT_MAX)
-                radiance = radiance + jnp.where(
-                    miss[..., None], throughput * sky, 0.0
-                )
-                state = (o, d, throughput, radiance, active)
-                break
-            hit = cast2(scene, o, d)
-            attrs = hit_attributes(scene, o, d, hit, exact=exact,
-                                   normal_mode=normal_mode)
-            state = bounce_from_attrs(state, attrs, keys[b])
-        radiance = state[3]
-        return carry + radiance, None
+        return carry + run_bounces(state, a0, keys), None
 
     keys = jax.random.split(key, samples)
     # zeros_like(directions) (not a fresh zeros): under shard_map the
