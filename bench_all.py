@@ -161,16 +161,17 @@ def config_colonnade():
 
 
 def config_colonnade_path():
-    # Recorded at 32x64 packets (PERF_LOG "path packet sweep": +10% on
-    # bounce-dominated frames) with 2 reinsertion-optimizer rounds on
-    # the tree (PERF_LOG r4: +3.4% reproducible; the optimizer's SAH
-    # gain concentrates in exactly the union-critical nodes bounce
-    # casts pay for). Must happen before the lazy kernel import below;
-    # the subprocess isolation means this can't leak into other
-    # configs. Explicit envs always win.
+    # Recorded at 16x64 packets with the (default) sample-batched
+    # wavefront (PERF_LOG r4: 131.0 -> 122.8 ms — the batched pool made
+    # 16x64 beat the old 32x64 pick) and 2 reinsertion-optimizer rounds
+    # on the tree (+3.4% reproducible; the optimizer's SAH gain
+    # concentrates in exactly the union-critical nodes bounce casts pay
+    # for). Must happen before the lazy kernel import below; the
+    # subprocess isolation means this can't leak into other configs.
+    # Explicit envs always win.
     import os
 
-    os.environ.setdefault("TRT_PIX_H", "32")
+    os.environ.setdefault("TRT_PIX_H", "16")
     os.environ.setdefault("TRT_BVH_OPT", "2")
     from tpu_raytracer.app import scenes
     from tpu_raytracer.app.controls import fly_through

@@ -169,23 +169,23 @@ def test_path_fast_tail_emissive_gate():
 
 
 def test_path_sample_batch_statistics_and_exactness(monkeypatch):
-    """TRT_PATH_SAMPLE_BATCH=1 runs all S samples as one (S,)+shape
-    wavefront (bounce casts pool S-times denser for the coherence
-    sorter). Different random stream than the per-sample scan — images
-    agree statistically, not bitwise — but within a mode the estimator
-    is deterministic and backend-independent: batched bvh == batched
-    brute bit-for-bit."""
+    """The default sample-batched wavefront runs all S samples as one
+    (S,)+shape pool (bounce casts pool S-times denser for the coherence
+    sorter); TRT_PATH_SAMPLE_BATCH=0 falls back to the per-sample scan.
+    Different random stream — images agree statistically, not bitwise —
+    but within a mode the estimator is deterministic and
+    backend-independent: batched bvh == batched brute bit-for-bit."""
     arrays, cam = cornell_scene(mirror=True)
     o, d = _rays(cam)
     key = jax.random.PRNGKey(3)
-    scan = np.asarray(render_path_traced(
-        arrays, o, d, key, max_bounces=2, samples=8, backend="bvh"))
-    monkeypatch.setenv("TRT_PATH_SAMPLE_BATCH", "1")
     batched = np.asarray(render_path_traced(
         arrays, o, d, key, max_bounces=2, samples=8, backend="bvh"))
     batched_brute = np.asarray(render_path_traced(
         arrays, o, d, key, max_bounces=2, samples=8, backend="brute"))
     np.testing.assert_array_equal(batched, batched_brute)
+    monkeypatch.setenv("TRT_PATH_SAMPLE_BATCH", "0")
+    scan = np.asarray(render_path_traced(
+        arrays, o, d, key, max_bounces=2, samples=8, backend="bvh"))
     # same estimator: image means agree to sample noise at 8 spp
     assert abs(scan.mean() - batched.mean()) < 0.02
     assert np.isfinite(batched).all()

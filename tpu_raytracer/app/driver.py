@@ -92,17 +92,18 @@ def run(
     kernel.cu:272-273).
     """
     if mode == "path":
-        # Measured r3: 2048-ray packets beat the 4096 primary-tuned
-        # default ~10% on bounce-dominated frames (PERF_LOG "path packet
-        # sweep"). Packet geometry is read at kernels import time, so
-        # this only works for the first render in a process; warn
-        # programmatic callers who imported the kernels already.
+        # Measured r4: 1024-ray packets + the sample-batched wavefront
+        # beat the 4096 primary-tuned default on bounce-dominated
+        # frames (PERF_LOG "sample-batched path wavefront"). Packet
+        # geometry is read at kernels import time, so this only works
+        # for the first render in a process; warn programmatic callers
+        # who imported the kernels already.
         if "tpu_raytracer.kernels.traversal" not in sys.modules:
-            os.environ.setdefault("TRT_PIX_H", "32")
-        elif os.environ.get("TRT_PIX_H") != "32":
+            os.environ.setdefault("TRT_PIX_H", "16")
+        elif os.environ.get("TRT_PIX_H") != "16":
             warnings.warn(
                 "run(mode='path'): kernels already imported with the "
-                "primary-tuned packet geometry; set TRT_PIX_H=32 before "
+                "primary-tuned packet geometry; set TRT_PIX_H=16 before "
                 "the first kernel import for the tuned path-mode packets",
                 stacklevel=2,
             )

@@ -45,6 +45,32 @@ class PointLight:
     intensity: float = 100.0
 
 
+def _bounce_packet(backend: str):
+    """Packet geometry for incoherent BOUNCE casts (reflection rays,
+    path bounces): (pix_h, pix_w) or None for the process default.
+
+    Bounce casts are node-union-bound, and a narrower packet spans
+    fewer distinct origins per tile (PERF_LOG r4: the batched path
+    wavefront at 16x64 beat 64x64 by ~13%); primary casts keep the
+    4096-ray default where pop amortization wins. Narrow-family
+    kernels cost one extra compile each, so the split default applies
+    only on real TPU (interpret-mode CI keeps a single family).
+    TRT_BOUNCE_PACKET=HxW forces a geometry, =0 disables."""
+    env = os.environ.get("TRT_BOUNCE_PACKET")
+    if env is not None:
+        if env in ("0", ""):
+            return None
+        h, w = env.lower().split("x")
+        return (int(h), int(w))
+    if backend != "pallas" or jax.default_backend() != "tpu":
+        return None
+    from ..kernels.traversal import PIX_H, PIX_W
+
+    if PIX_H * PIX_W <= 1024:
+        return None  # process default is already narrow
+    return (16, 64)
+
+
 def _reflect(d, n):
     return d - 2.0 * dot(d, n)[..., None] * n
 
@@ -143,7 +169,14 @@ def render_whitted(
     if env is not None:
         retile_secondary = env != "0"
     cast = get_cast_fn(backend, want_normals=True)
-    cast2 = _secondary_cast_fn(cast, backend, sort_secondary)
+    # reflection bounce casts ride narrow packets (the whitted frame's
+    # measured wall: each reflection cast costs as much as a primary
+    # despite a small live population — divergent directions blow up
+    # the node union inside the live tiles); shadow occlusion casts
+    # measured ~free (any-hit early-out) and keep the default family
+    bcast = get_cast_fn(backend, want_normals=True,
+                        packet=_bounce_packet(backend))
+    cast2 = _secondary_cast_fn(bcast, backend, sort_secondary)
     occ_cast = occlusion_cast_fn(backend)
     directions = jnp.asarray(directions, jnp.float32)
     origin = jnp.broadcast_to(jnp.asarray(origin, jnp.float32), directions.shape)
@@ -266,6 +299,7 @@ def render_path_traced(
     point_lights: tuple = (),
     sun_intensity: float = 1.0,
     normal_mode: str = "reference",
+    sample_batch: bool = True,
 ) -> jax.Array:
     """Monte-Carlo path tracing (the stochastic bounce design the
     reference's curand setup anticipated, raycast.cu:190-193).
@@ -307,7 +341,12 @@ def render_path_traced(
     [..., 3].
     """
     cast = get_cast_fn(backend, want_normals=True)
-    cast2 = _secondary_cast_fn(cast, backend, sort_secondary)
+    # bounce + tail casts ride narrow packets (union-bound incoherent
+    # rays; see _bounce_packet); the primary cast and NEE shadow casts
+    # keep the default geometry
+    bpacket = _bounce_packet(backend)
+    bcast = get_cast_fn(backend, want_normals=True, packet=bpacket)
+    cast2 = _secondary_cast_fn(bcast, backend, sort_secondary)
     occ_cast = occlusion_cast_fn(backend)
     nee = light_direction is not None or bool(point_lights)
     # FAST TAIL: with no emissive materials and no NEE, the FINAL
@@ -326,7 +365,9 @@ def render_path_traced(
         and max_bounces >= 1
         and os.environ.get("TRT_PATH_TAIL", "1") != "0"
     )
-    occ2 = _secondary_cast_fn(occ_cast, backend, sort_secondary)
+    occ2 = _secondary_cast_fn(
+        occlusion_cast_fn(backend, packet=bpacket), backend, sort_secondary
+    )
     directions = jnp.asarray(directions, jnp.float32)
     origin = jnp.broadcast_to(jnp.asarray(origin, jnp.float32), directions.shape)
     shape = directions.shape[:-1]
@@ -431,20 +472,23 @@ def render_path_traced(
             state = bounce_from_attrs(state, attrs, keys[b])
         return state[3]
 
-    # SAMPLE-BATCHED WAVEFRONT (TRT_PATH_SAMPLE_BATCH=1): run all S
-    # samples as one (S,)+shape ray batch instead of a sequential scan.
-    # Bounce casts then hand the coherence sorter an S-times denser ray
-    # pool — the S bounce rays of a pixel share their ORIGIN (the same
-    # primary hit), so their morton keys collide and they pack into the
-    # same tiles: each packet spans ~1/S the spatial extent, shrinking
-    # the traversed node union (the measured wall for incoherent
-    # bounces, PERF_LOG r3). Same estimator/distribution, different
-    # random stream than the scan (draws are shaped (S,)+shape rather
-    # than per-sample), so images differ sample-noise-level only.
-    sample_batch = (
-        samples > 1 and not dof
-        and os.environ.get("TRT_PATH_SAMPLE_BATCH", "0") != "0"
-    )
+    # SAMPLE-BATCHED WAVEFRONT (default; TRT_PATH_SAMPLE_BATCH=0 falls
+    # back to the per-sample lax.scan): run all S samples as one
+    # (S,)+shape ray batch instead of a sequential scan. Bounce casts
+    # then hand the coherence sorter an S-times denser ray pool — the S
+    # bounce rays of a pixel share their ORIGIN (the same primary hit),
+    # so their morton keys collide and they pack into the same tiles:
+    # each packet spans ~1/S the spatial extent, shrinking the
+    # traversed node union (the measured wall for incoherent bounces;
+    # TPU A/B: colonnade fly-through 131.0 -> 122.8 ms). Same
+    # estimator/distribution, different random stream than the scan
+    # (draws are shaped (S,)+shape rather than per-sample), so images
+    # differ sample-noise-level only. Wavefront memory scales with S —
+    # for very high spp at large resolutions prefer the scan.
+    env_sb = os.environ.get("TRT_PATH_SAMPLE_BATCH")
+    if env_sb is not None:
+        sample_batch = env_sb != "0"
+    sample_batch = sample_batch and samples > 1 and not dof
     if sample_batch:
         bshape = (samples,) + shape
         bc = lambda a: jnp.broadcast_to(a[None], (samples,) + a.shape)

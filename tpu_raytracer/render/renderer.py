@@ -408,7 +408,7 @@ def _cast_rays_paged_major(scene: SceneArrays, origin, directions) -> Hit:
     return cast_rays_paged_major(scene, tables, origin, directions)
 
 
-def occlusion_cast_fn(backend: str):
+def occlusion_cast_fn(backend: str, packet=None):
     """ANY-HIT cast for BOOLEAN shadow queries (occluded iff
     t < FLT_MAX): on the pallas backend the packet kernels collapse a
     ray's remaining traversal the moment ANY hit is accepted
@@ -416,22 +416,36 @@ def occlusion_cast_fn(backend: str):
     later slab/triangle test for that lane), which is all a hard
     shadow needs. Other backends return their nearest-hit cast (same
     boolean). Distance-bounded queries (point lights) must NOT use
-    this. TRT_OCC_SHADOW=0 forces nearest-hit casts for A/B."""
+    this. TRT_OCC_SHADOW=0 forces nearest-hit casts for A/B.
+    ``packet``: see get_cast_fn."""
     import os
 
-    cast = get_cast_fn(backend)
+    cast = get_cast_fn(backend, packet=packet)
     if backend == "pallas" and os.environ.get("TRT_OCC_SHADOW", "1") != "0":
         return functools.partial(cast, occlusion=True)
     return cast
 
 
-def get_cast_fn(backend: str, want_normals: bool = False):
+def get_cast_fn(backend: str, want_normals: bool = False, packet=None):
     """``want_normals``: the caller's shading mode reads attrs.normal
     (any non-flat lighting, bounce integrators, AOVs) — kernel-backed
     casts then carry the accepted triangle's face normal on Hit.n so
     hit_attributes skips the triangle-record gather. Backends without
-    the carry ignore the request (attrs falls back to the redo)."""
+    the carry ignore the request (attrs falls back to the redo).
+
+    ``packet``: optional (pix_h, pix_w) packet-geometry override for
+    the pallas backend — casts route to the kernels.family instance at
+    that geometry instead of the process default (narrow packets for
+    incoherent bounce casts; see kernels/family.py). Ignored by other
+    backends. Results are bit-identical across geometries."""
     if backend == "pallas":
+        if packet is not None:
+            from ..kernels.family import family_cast_fn
+
+            fcast = family_cast_fn(*packet)
+            if want_normals:
+                return functools.partial(fcast, want_normals=True)
+            return fcast
         from ..kernels.traversal import cast_rays_pallas
 
         if want_normals:
