@@ -117,6 +117,78 @@ def test_sharded_render_matches_full_scene():
 
 
 @needs4
+def test_sharded_cast_pallas_backend():
+    """The flagship Pallas kernel family runs INSIDE the shard body
+    (VERDICT r4 item 7): shard_compile now stacks per-chunk wide4
+    tables (padded, static-unified), so backend='pallas' (interpret on
+    CPU) routes through the dual-wide kernel per shard. Distances must
+    be bit-equal to the bvh-walk sharded cast; ids may differ only on
+    exact t-ties."""
+    scene, cam = _scene()
+    o, d = _rays(cam)
+    mesh = make_mesh(4, axis="scene")
+    stacked = shard_compile(scene, 4)
+    assert stacked.wide4 is not None  # tables survived stacking
+    got_p = cast_rays_scene_sharded(mesh, stacked, o, d, backend="pallas")
+    got_b = cast_rays_scene_sharded(mesh, stacked, o, d, backend="bvh")
+    tp, tb = np.asarray(got_p.t), np.asarray(got_b.t)
+    # CPU INTERPRET contracts FMAs differently from the XLA walk
+    # (ulp-level t drift, the standing interpret caveat — the
+    # same-device TPU oracle is bit-exact, tests/test_pallas_tpu.py);
+    # miss/hit pattern must agree exactly
+    np.testing.assert_array_equal(tp >= 3e38, tb >= 3e38)
+    np.testing.assert_allclose(np.where(tp < 3e38, tp, 0.0),
+                               np.where(tb < 3e38, tb, 0.0), rtol=1e-5)
+    flips = (np.asarray(got_p.tri) != np.asarray(got_b.tri)).mean()
+    assert flips < 0.02, flips
+
+
+@needs4
+def test_whitted_scene_sharded_matches_full_scene():
+    """Whitted with geometry sharded: reflection bounces + directional
+    shadows + a POINT light, all combined per bounce over the mesh
+    axis — matches the single-device whitted render of the same
+    flattened scene (tie pixels only may flip)."""
+    from tpu_raytracer.parallel import render_image_whitted_scene_sharded
+    from tpu_raytracer.render.integrators import PointLight
+    from tpu_raytracer.render.pipeline import render_image_whitted
+
+    scene, cam = _scene()
+    scene.materials[0].reflectivity = 0.5  # make bounces real
+    stacked = shard_compile(scene, 4)
+    mesh = make_mesh(4, axis="scene")
+    p = cam.ray_params()
+    cfg = RenderConfig(cam.width, cam.height, backend="bvh",
+                       point_lights=(PointLight((0.0, -1.0, 2.0), 5.0),))
+    img = np.asarray(render_image_whitted_scene_sharded(
+        cfg, mesh, stacked, p["K_inv"], p["D"], p["pose"], p["inv_pose"],
+        max_bounces=1,
+    ))
+
+    # exact vs the 1-shard run of the same code path
+    img1 = np.asarray(render_image_whitted_scene_sharded(
+        cfg, make_mesh(1, axis="scene"), shard_compile(scene, 1),
+        p["K_inv"], p["D"], p["pose"], p["inv_pose"], max_bounces=1,
+    ))
+    np.testing.assert_array_equal(img, img1)
+
+    flat, tri_mat = scene.flattened()
+    full = flat.compile(auto_page=False, _tri_mat=tri_mat)
+    ref = np.asarray(render_image_whitted(
+        cfg, full, p["K_inv"], p["D"], p["pose"], p["inv_pose"],
+        max_bounces=1,
+    ))
+    mismatch = (img != ref).any(-1).mean()
+    assert mismatch < 0.01, mismatch
+    # the bounce actually changed pixels vs a 0-bounce render
+    ref0 = np.asarray(render_image_whitted(
+        cfg, full, p["K_inv"], p["D"], p["pose"], p["inv_pose"],
+        max_bounces=0,
+    ))
+    assert (ref != ref0).any(-1).mean() > 0.005
+
+
+@needs4
 def test_shard_count_must_match_mesh():
     scene, cam = _scene()
     stacked = shard_compile(scene, 2)

@@ -21,13 +21,20 @@ alive in ``_FAMILIES`` and the default family is untouched.
 Because ``cast_rays_pallas`` lazily imports its sibling kernels
 (``from .tlas import …``) at TRACE time, family casts run inside a
 ``sys.modules`` swap context so those lazy imports resolve to the
-family's own modules. Tracing is single-threaded in our pipelines, and
-the swap window is only the trace itself (compiled executables hold no
-module references).
+family's own modules. The swap window (trace only — compiled
+executables hold no module references) and the family build are
+serialized by a module lock, so a concurrent import/trace in another
+thread cannot observe mixed-geometry modules.
 
-Per-ray results are bit-identical across geometries: packet membership
-changes visit order and visit counts, never which triangle a ray
-accepts (the kernel's accept predicate is per-ray).
+Tie semantics across geometries: accepted hit DISTANCES are
+bit-identical (the accept predicate is per-ray and packet membership
+never changes the set of tested candidates), but the accepted
+triangle — and on multi-instance scenes the accepted INSTANCE — may
+flip on EXACT t-ties (coplanar surfaces), because the strict-``<``
+accept resolves ties by visit order and visit order follows packet
+membership (same caveat as any tree change; see the TLAS tie note,
+kernels/tlas.py). Tie flips are t-preserving by construction:
+tests/test_kernel_family.py re-intersects both picks as its oracle.
 """
 
 from __future__ import annotations
@@ -35,6 +42,7 @@ from __future__ import annotations
 import importlib
 import os
 import sys
+import threading
 from contextlib import contextmanager
 
 _PKG = "tpu_raytracer.kernels"
@@ -43,6 +51,12 @@ _MODS = ("traversal", "dual", "tlas", "paged", "paged_wide",
          "paged_major")
 
 _FAMILIES: dict = {}
+# serializes family builds and swap windows (get_family's sys.modules
+# pop/re-import and _entries' install/restore both mutate process
+# globals; the lock turns the documented single-threaded assumption
+# into an enforced invariant). RLock: a family cast traced inside
+# another family's swap window (nested _entries) must not self-deadlock.
+_LOCK = threading.RLock()
 
 
 def _full(name: str) -> str:
@@ -52,7 +66,15 @@ def _full(name: str) -> str:
 @contextmanager
 def _entries(mods: dict):
     """Temporarily install ``mods`` (name -> module) as the package's
-    sys.modules entries and attributes; restore the originals after."""
+    sys.modules entries and attributes; restore the originals after.
+    Holds the module lock for the whole window."""
+    with _LOCK:
+        with _entries_unlocked(mods):
+            yield
+
+
+@contextmanager
+def _entries_unlocked(mods: dict):
     pkg = sys.modules[_PKG]
     saved_sys = {}
     saved_attr = {}
@@ -83,6 +105,13 @@ def get_family(pix_h: int, pix_w: int = 64) -> dict:
     Built once per geometry and cached for the process lifetime."""
     key = (int(pix_h), int(pix_w))
     if key in _FAMILIES:
+        return _FAMILIES[key]
+    with _LOCK:
+        return _get_family_locked(key)
+
+
+def _get_family_locked(key) -> dict:
+    if key in _FAMILIES:  # lost the build race to another thread
         return _FAMILIES[key]
     if (key[0] * key[1]) % (8 * 128) != 0:
         raise ValueError(

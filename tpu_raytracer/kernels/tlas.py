@@ -21,6 +21,13 @@ Tie semantics: hit results are identical to the linear kernel except
 when two DIFFERENT instances produce exactly equal nearest-t (the
 linear loop resolves by instance index, the TLAS by spatial order) —
 coplanar-overlap geometry only; all oracle scenes are unaffected.
+The reference's rule is strict-``<`` first-tested-wins in instance
+order (raycast.cu:104-113); every kernel here keeps the strict ``<``
+accept, so ties always resolve to SOME valid hit at the tied t, but
+WHICH one follows visit order — and visit order depends on packet
+membership, so tri/inst ids at exact ties may differ between packet
+geometries (kernels/family.py) or after any tree change. Never
+distance-visible; tests/test_kernel_family.py oracles this.
 
 TLAS tables ride on ``SceneArrays.tlas`` (built at compile / refreshed
 by update_instance on concrete arrays). A/B gate: TRT_TLAS=0 disables

@@ -1,6 +1,7 @@
 from .scene_shard import (
     cast_rays_scene_sharded,
     render_image_scene_sharded,
+    render_image_whitted_scene_sharded,
     shard_compile,
 )
 from .sharding import (
@@ -17,5 +18,6 @@ __all__ = [
     "render_image_scene_sharded",
     "render_image_sharded",
     "render_image_whitted_sharded",
+    "render_image_whitted_scene_sharded",
     "shard_compile",
 ]

@@ -8,15 +8,21 @@ outgrows one chip's HBM. This module shards the GEOMETRY instead:
     static bake the whitted benchmarks use) and its merged, BVH-ordered
     triangle soup is split into ``n`` contiguous chunks (leaf order is
     spatially coherent, so chunks are compact, not interleaved);
-  * each chunk compiles into its own SceneArrays (own BVH) and the n
-    pytrees are stacked on a leading shard axis — materials/atlas are
+  * each chunk compiles into its own SceneArrays (own BVH **and its
+    own wide4 tables**, padded + static-unified so the stacked pytree
+    is treedef-uniform — the flagship dual-wide Pallas kernel runs
+    inside the shard body, not just the XLA walk) and the n pytrees
+    are stacked on a leading shard axis — materials/atlas are
     replicated (identical rows), only geometry diverges;
-  * every chip casts ALL rays against ITS chunk (any resident backend),
-    then one lexicographic (t, global-tri) min-reduction over the mesh
-    axis — ``jax.lax.pmin`` riding ICI — crowns the scene-wide nearest
-    hit. Shading runs on the combined attributes (each field a
-    winner-masked ``psum``), and hard-shadow occlusion is the pmin of
-    the per-shard any-hit casts, so every lighting mode composes.
+  * every chip casts ALL rays against ITS chunk (any resident backend
+    including ``pallas``), then one lexicographic (t, global-tri)
+    min-reduction over the mesh axis — ``jax.lax.pmin`` riding ICI —
+    crowns the scene-wide nearest hit. Shading runs on the combined
+    attributes (each field a winner-masked ``psum``), and hard-shadow
+    occlusion is the pmin of the per-shard any-hit casts, so every
+    lighting mode composes. ``render_image_whitted_scene_sharded``
+    extends the same combine to every reflection bounce (and supports
+    point lights through pmin-combined nearest casts).
 
 Combine semantics: the winner is the smallest t, ties broken by the
 smaller GLOBAL triangle id (``shard * stride + local-BVH-index``) —
@@ -95,12 +101,23 @@ def shard_compile(scene, n_shards: int, **compile_kw) -> SceneArrays:
             auto_page=False, _tri_mat=tri_mat[sl][mp.bvh.order],
             **compile_kw,
         )
-        # derived tables (wide4 et al) carry per-shard STATIC metadata
-        # that breaks treedef-uniform stacking; the sharded casts run
-        # the table-free backends, so drop them
-        shards.append(dataclasses.replace(
-            arrays, wide4=None, tlas=None, paged=None
-        ))
+        # wide4 tables stay (the flagship dual-wide pallas kernel runs
+        # INSIDE the shard body; VERDICT r4 item 7) — their static
+        # max_leaf is unified below so the treedefs stack. tlas is
+        # irrelevant (each chunk is one instance) and paged tables are
+        # dropped: chunks must fit the resident kernel's VMEM budget —
+        # scale by adding shards, which is the point of this mode.
+        if arrays.wide4 is None:
+            arrays = arrays.with_wide4()
+        shards.append(dataclasses.replace(arrays, tlas=None, paged=None))
+
+    max_leaf = max(s.wide4.max_leaf for s in shards)
+    shards = [
+        dataclasses.replace(
+            s, wide4=dataclasses.replace(s.wide4, max_leaf=max_leaf)
+        )
+        for s in shards
+    ]
 
     # pad every array leaf to the max shape per field, then stack
     leaves_list = [jax.tree.leaves(a) for a in shards]
@@ -253,6 +270,138 @@ def render_image_scene_sharded(
             cast_fn=sharded_occlusion,
         )
         return img
+
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )(scene_stacked, origin_b, directions)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 7, 8))
+def render_image_whitted_scene_sharded(
+    config: RenderConfig,
+    mesh: Mesh,
+    scene_stacked: SceneArrays,
+    K_inv: jax.Array,
+    D: jax.Array,
+    pose: jax.Array,
+    inv_pose: jax.Array,
+    max_bounces: int = 2,
+    shadows: bool = True,
+) -> jax.Array:
+    """Whitted reflections with the GEOMETRY sharded (VERDICT r4 item
+    7): every bounce's nearest-hit cast runs against the local chunk
+    and is lex-min combined over ICI — so reflection chains see the
+    whole scene while each chip holds 1/n of it. Directional shadows
+    are pmin-combined any-hit casts; POINT lights work here (unlike the
+    primary scene-sharded path) through pmin-combined nearest casts —
+    their query only reads the combined t. The shading math mirrors
+    integrators.render_whitted bounce for bounce; replicated per-chip
+    compute keeps every shard's radiance identical, so out_specs
+    replicate without a gather."""
+    from ..core.tables import take_rows
+    from ..core.vecmath import normalize
+    from ..render.integrators import (
+        _direct_illumination, _park, _reflect, to_u8, tonemap,
+    )
+    from ..render.renderer import occlusion_cast_fn
+    from ..render.shade import SHADOW_EPS, sky_radiance, surface_color
+
+    axis = mesh.axis_names[0]
+    stride = _tri_stride(scene_stacked)
+
+    origin, directions = generate_rays(
+        config.width, config.height, K_inv, D, pose, inv_pose,
+        exact=config.exact_math,
+    )
+    origin_b = jnp.broadcast_to(origin, directions.shape)
+
+    def body(sc, o0, d0):
+        local = _local(sc)
+        sid = jax.lax.axis_index(axis)
+        cast = get_cast_fn(config.backend, want_normals=True)
+        loc_occ = occlusion_cast_fn(config.backend)
+        ncast = get_cast_fn(config.backend)
+
+        def cast_attrs(o, d):
+            hit = cast(local, o, d)
+            combined, winner = _combine_hit(
+                Hit(t=hit.t, tri=hit.tri, inst=hit.inst), sid, stride,
+                axis,
+            )
+            attrs = hit_attributes(local, o, d, hit,
+                                   exact=config.exact_math,
+                                   normal_mode=config.normal_mode)
+            sel = lambda x, m: jax.lax.psum(jnp.where(m, x, 0), axis)
+            wv = winner[..., None]
+            return attrs._replace(
+                hit=combined.t < FLT_MAX,
+                t=combined.t,
+                location=sel(attrs.location, wv),
+                normal=sel(attrs.normal, wv),
+                uv=sel(attrs.uv, wv),
+                material=sel(attrs.material, winner),
+                inst=combined.inst,
+            )
+
+        def occ_comb(_s, so, sd):
+            # occluded iff ANY shard occludes
+            occ = loc_occ(local, so, sd)
+            return Hit(t=jax.lax.pmin(occ.t, axis), tri=occ.tri,
+                       inst=occ.inst)
+
+        def nearest_comb(_s, so, sd):
+            # distance-only combined nearest (point-light visibility
+            # reads t alone)
+            h = ncast(local, so, sd)
+            return Hit(t=jax.lax.pmin(h.t, axis), tri=h.tri, inst=h.inst)
+
+        shape = d0.shape[:-1]
+        radiance = jnp.zeros(shape + (3,), jnp.float32)
+        throughput = jnp.ones(shape + (3,), jnp.float32)
+        active = jnp.ones(shape, bool)
+        o, d = o0, d0
+        for bounce in range(max_bounces + 1):
+            attrs = cast_attrs(o, d)
+            miss = active & ~attrs.hit
+            sky = sky_radiance(local, d, exact=config.exact_math)
+            radiance = radiance + jnp.where(
+                miss[..., None], throughput * sky, 0.0
+            )
+            live = active & attrs.hit
+            color = surface_color(local, attrs,
+                                  tex_filter=config.texture_filter)
+            illum = _direct_illumination(
+                local, nearest_comb, attrs, config.light_direction,
+                config.point_lights, config.exact_math, shadows,
+                occ_cast=occ_comb, clamp_floor=0.4,
+            )
+            illum = jnp.clip(illum, 0.4, 1.0)
+            rrec = take_rows(
+                jnp.stack([local.mat_reflectivity,
+                           local.mat_illumination], axis=1),
+                attrs.material,
+            )
+            refl = rrec[..., 0]
+            emit = rrec[..., 1]
+            shade = (color * illum[..., None] * (1.0 - refl[..., None])
+                     + emit[..., None])
+            radiance = radiance + jnp.where(
+                live[..., None], throughput * shade, 0.0
+            )
+            if bounce == max_bounces:
+                break
+            throughput = throughput * jnp.where(
+                live[..., None], color * refl[..., None], 0.0
+            )
+            active = live & (refl > 0.0)
+            d = normalize(_reflect(d, attrs.normal),
+                          exact=config.exact_math)
+            o = attrs.location + d * SHADOW_EPS
+            o, d = _park(o, d, active)
+        return to_u8(tonemap(radiance, config.tonemap, config.exposure))
 
     return jax.shard_map(
         body, mesh=mesh,

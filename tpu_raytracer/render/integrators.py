@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..core.tables import take_rows as _take_rows
 from ..core.vecmath import FLT_MAX, dot, normalize
 from ..scene.scene import SceneArrays
 from .renderer import get_cast_fn, hit_attributes, occlusion_cast_fn
@@ -51,24 +52,20 @@ def _bounce_packet(backend: str):
 
     Bounce casts are node-union-bound, and a narrower packet spans
     fewer distinct origins per tile (PERF_LOG r4: the batched path
-    wavefront at 16x64 beat 64x64 by ~13%); primary casts keep the
-    4096-ray default where pop amortization wins. Narrow-family
-    kernels cost one extra compile each, so the split default applies
-    only on real TPU (interpret-mode CI keeps a single family).
-    TRT_BOUNCE_PACKET=HxW forces a geometry, =0 disables."""
+    wavefront at 16x64 beat 64x64 by ~13% — a PROCESS-default
+    geometry measurement, not this two-families-in-one-process
+    mechanism). The family route stays OPT-IN (TRT_BOUNCE_PACKET=HxW;
+    =0 disables) until a hardware A/B of the mechanism itself is
+    recorded in PERF_LOG — it adds a second kernel-family compile
+    (minutes on TPU) to every whitted/path run, which an unmeasured
+    default must not impose."""
     env = os.environ.get("TRT_BOUNCE_PACKET")
     if env is not None:
         if env in ("0", ""):
             return None
         h, w = env.lower().split("x")
         return (int(h), int(w))
-    if backend != "pallas" or jax.default_backend() != "tpu":
-        return None
-    from ..kernels.traversal import PIX_H, PIX_W
-
-    if PIX_H * PIX_W <= 1024:
-        return None  # process default is already narrow
-    return (16, 64)
+    return None
 
 
 def _reflect(d, n):
@@ -169,14 +166,17 @@ def render_whitted(
     if env is not None:
         retile_secondary = env != "0"
     cast = get_cast_fn(backend, want_normals=True)
-    # reflection bounce casts ride narrow packets (the whitted frame's
-    # measured wall: each reflection cast costs as much as a primary
-    # despite a small live population — divergent directions blow up
-    # the node union inside the live tiles); shadow occlusion casts
-    # measured ~free (any-hit early-out) and keep the default family
+    # reflection bounce casts may ride narrow packets (opt-in, see
+    # _bounce_packet: the whitted frame's measured wall is that each
+    # reflection cast costs as much as a primary despite a small live
+    # population — divergent directions blow up the node union inside
+    # the live tiles); shadow casts — directional any-hit AND
+    # distance-bounded point-light queries (dcast) — always keep the
+    # default family (measured ~free / unmeasured on narrow)
     bcast = get_cast_fn(backend, want_normals=True,
                         packet=_bounce_packet(backend))
     cast2 = _secondary_cast_fn(bcast, backend, sort_secondary)
+    dcast = _secondary_cast_fn(cast, backend, sort_secondary)
     occ_cast = occlusion_cast_fn(backend)
     directions = jnp.asarray(directions, jnp.float32)
     origin = jnp.broadcast_to(jnp.asarray(origin, jnp.float32), directions.shape)
@@ -232,7 +232,7 @@ def render_whitted(
         live = active & attrs.hit
         color = surface_color(scene, attrs, tex_filter=tex_filter)
         illum = _direct_illumination(
-            scene, cast2, attrs, light_direction, point_lights, exact,
+            scene, dcast, attrs, light_direction, point_lights, exact,
             shadows, occ_cast=occ_cast,
             clamp_floor=0.4,  # matches the clip below: shadow rays with
         )                     # cos <= 0.4 are unobservable and park
@@ -240,7 +240,7 @@ def render_whitted(
         rpack = jnp.stack(
             [scene.mat_reflectivity, scene.mat_illumination], axis=1
         )
-        rrec = rpack[attrs.material]
+        rrec = _take_rows(rpack, attrs.material)
         refl = rrec[..., 0]
         emit = rrec[..., 1]
         local = color * illum[..., None] * (1.0 - refl[..., None]) + emit[..., None]
@@ -381,12 +381,13 @@ def render_path_traced(
         radiance = radiance + jnp.where(miss[..., None], throughput * sky, 0.0)
         live = active & attrs.hit
         color = surface_color(scene, attrs, tex_filter=tex_filter)
-        # one packed [M, 3] material gather (illum/refl/rough) instead
-        # of three 1-element gathers — TPU gathers cost per op + element
-        mpack = jnp.stack(
+        # one packed [M, 3] material lookup (illum/refl/rough) via the
+        # one-hot contraction (core/tables.py) — per-element gathers
+        # were the shade wall
+        mpack = _take_rows(jnp.stack(
             [scene.mat_illumination, scene.mat_reflectivity,
              scene.mat_roughness], axis=1
-        )[attrs.material]
+        ), attrs.material)
         emit = mpack[..., 0]
         radiance = radiance + jnp.where(
             live[..., None], throughput * emit[..., None], 0.0

@@ -249,16 +249,19 @@ def hit_attributes(
     tri = jnp.maximum(hit.tri, 0)
     inst = jnp.maximum(hit.inst, 0)
 
-    # one [I, 18] gather for all per-instance transform fields. With a
-    # SINGLE instance the clamped index is statically 0 — the gather
-    # is a row-0 broadcast, so skip it (drops 18 gathered elements per
-    # ray per shaded stage — TPU gathers cost per element, PERF_LOG
-    # r3 — and turns the per-ray euler trig into hoistable scalars).
+    # one [I, 18] lookup for all per-instance transform fields. With a
+    # SINGLE instance the clamped index is statically 0 — the lookup
+    # is a row-0 broadcast. Multi-instance scenes route through
+    # take_rows (one-hot contraction): the 18-elements-per-ray gather
+    # this used to be was the multi-instance shade wall (TPU gathers
+    # cost per element, PERF_LOG r3/r5).
+    from ..core.tables import take_rows
+
     ipack = jnp.concatenate(
         [scene.inst_pose, scene.inst_inv_pose, scene.inst_scale,
          scene.inst_inv_scale], axis=1
     )
-    irec = ipack[0] if scene.inst_pose.shape[0] == 1 else ipack[inst]
+    irec = ipack[0] if scene.inst_pose.shape[0] == 1 else take_rows(ipack, inst)
     inst_pose = irec[..., 0:6]
     inst_inv_pose = irec[..., 6:12]
     scale = irec[..., 12:15]
@@ -356,7 +359,7 @@ def hit_attributes(
     # source instance's material into tri_mat; -1 = resolve via inst)
     tmat = scene.tri_mat[tri]
     imat = (scene.inst_material[0] if scene.inst_pose.shape[0] == 1
-            else scene.inst_material[inst])
+            else take_rows(scene.inst_material, inst))
     material = jnp.where(tmat >= 0, tmat, imat)
     return HitAttributes(
         hit=ok,
@@ -437,7 +440,10 @@ def get_cast_fn(backend: str, want_normals: bool = False, packet=None):
     the pallas backend — casts route to the kernels.family instance at
     that geometry instead of the process default (narrow packets for
     incoherent bounce casts; see kernels/family.py). Ignored by other
-    backends. Results are bit-identical across geometries."""
+    backends. Hit DISTANCES are bit-identical across geometries;
+    tri/inst ids may flip on exact t-ties (tie-breaking follows visit
+    order, which depends on packet membership — kernels/family.py
+    tie-semantics note)."""
     if backend == "pallas":
         if packet is not None:
             from ..kernels.family import family_cast_fn

@@ -73,9 +73,15 @@ def sample_texture(
     ``bilinear`` is a framework extension (the reference has no
     filtering) — texel-center convention, positive wrap on both
     corners. Returns [..., 3] f32 in [0, 1]."""
+    from ..core.tables import take_rows
+
+    pack = jnp.stack(
+        [scene.mat_tex_start, scene.mat_tex_w, scene.mat_tex_h], axis=1
+    )
+    rec = take_rows(pack, material)
     return _sample_texture_vals(
-        scene, scene.mat_tex_start[material], scene.mat_tex_w[material],
-        scene.mat_tex_h[material], uv, tex_filter=tex_filter,
+        scene, rec[..., 0], rec[..., 1], rec[..., 2], uv,
+        tex_filter=tex_filter,
     )
 
 
@@ -132,9 +138,13 @@ def _sample_texture_trilinear(scene, mat, uv, duv_dx, duv_dy) -> jax.Array:
     footprint of the screen derivatives, bilinear taps on the two
     bracketing mip levels, lerp. Levels live in the same packed atlas
     (scene.mat_tex_mip_start)."""
-    w = scene.mat_tex_w[mat]
-    h = scene.mat_tex_h[mat]
-    wh = jnp.stack([w, h], -1).astype(jnp.float32)
+    from ..core.tables import take_rows
+
+    whp = take_rows(jnp.stack([scene.mat_tex_w, scene.mat_tex_h], axis=1),
+                    mat)
+    w = whp[..., 0]
+    h = whp[..., 1]
+    wh = whp.astype(jnp.float32)
     fx = duv_dx * wh
     fy = duv_dy * wh
     rho2 = jnp.maximum(
@@ -152,7 +162,7 @@ def _sample_texture_trilinear(scene, mat, uv, duv_dx, duv_dy) -> jax.Array:
     flat_starts = scene.mat_tex_mip_start.reshape(-1)
 
     def level_tap(lev):
-        start = flat_starts[mat * n_levels + lev]
+        start = take_rows(flat_starts, mat * n_levels + lev)
         wl = jnp.maximum(jax.lax.shift_right_logical(w, lev), 1)
         hl = jnp.maximum(jax.lax.shift_right_logical(h, lev), 1)
         return _sample_texture_bilinear(scene, start, wl, hl, uv)
@@ -230,15 +240,19 @@ def surface_color(
 ) -> jax.Array:
     """Texture sample where textured, else albedo (raycast.cu:224-245).
     Multiplied against the ray color (init (1,1,1), Ray.hpp:21).
-    Two packed gathers instead of four: one [K, 3] f32 albedo gather and
-    one [K, 3] i32 gather for (tex_start, w, h) — the integer fields
-    stay i32 end-to-end, so atlas offsets past 2^24 texels (a single
-    4096x4096 texture is 16.78M) never round through f32.
+    Material-table lookups go through core.tables.take_rows (one-hot
+    contraction / select chain instead of per-element gathers — the
+    measured textured-shade wall, PERF_LOG r5); the integer
+    (tex_start, w, h) pack stays i32 end-to-end, so atlas offsets past
+    2^24 texels (a single 4096x4096 texture is 16.78M) never round
+    through f32.
 
     ``trilinear`` needs screen-space UV derivatives (``uv_ddx/ddy``,
     see uv_screen_derivatives); without them it degrades to bilinear
     (secondary/bounce rays have no screen footprint)."""
-    alb = scene.mat_albedo[attrs.material]
+    from ..core.tables import take_rows
+
+    alb = take_rows(scene.mat_albedo, attrs.material)
     if not scene.has_textures:
         # STATIC gate: no material anywhere is textured, so the atlas
         # sample below is pure discarded work — skip it at trace time
@@ -246,7 +260,7 @@ def surface_color(
     ipack = jnp.stack(
         [scene.mat_tex_start, scene.mat_tex_w, scene.mat_tex_h], axis=1
     )
-    mi = ipack[attrs.material]
+    mi = take_rows(ipack, attrs.material)
     start = mi[..., 0]
     w = mi[..., 1]
     h = mi[..., 2]
