@@ -22,6 +22,27 @@ def save_png(img, fp: str) -> None:
         Image.fromarray(img[..., ::-1]).save(fp)
 
 
+def encode_png(img) -> bytes:
+    """[H, W, 3] u8 (reference BGR channel order) -> PNG bytes, in
+    memory (the web viewer's frame endpoint)."""
+    img = np.asarray(img, np.uint8)
+    try:
+        import cv2
+
+        ok, buf = cv2.imencode(".png", img)
+        if not ok:  # pragma: no cover
+            raise RuntimeError("png encode failed")
+        return bytes(buf.tobytes())
+    except ImportError:  # pragma: no cover
+        import io
+
+        from PIL import Image
+
+        bio = io.BytesIO()
+        Image.fromarray(img[..., ::-1]).save(bio, format="PNG")
+        return bio.getvalue()
+
+
 def overlay_fps(img, fps: float):
     """Burn an FPS label into the frame (kernel.cu:40-41)."""
     # np.array (not ascontiguousarray): device arrays view as READ-ONLY
