@@ -81,6 +81,7 @@ def run(
     ao_radius: float = 1.0,
     calib: bool = False,
     normal_mode: str = "reference",
+    web: int | None = None,
 ):
     """The render loop (kernel.cu:266-296): N timed frames, FPS printed
     per frame, final frame saved with the FPS overlay.
@@ -90,6 +91,9 @@ def run(
     ``fly`` animates the camera (config 5 fly-through);
     ``animate`` spins instance 0 (the reference's disabled teapot spin,
     kernel.cu:272-273).
+    ``web``: serve the LIVE interactive viewer on this port instead of
+    the timed loop (browser window + mouse orbit + WASD; app/web.py —
+    the reference's disabled cv::imshow surface, kernel.cu:262-263).
     """
     if mode == "path":
         # Measured r4: 1024-ray packets + the sample-batched wavefront
@@ -154,6 +158,12 @@ def run(
         tonemap=tonemap, exposure=exposure, denoise=denoise,
         normal_mode=normal_mode,
     )
+    if web is not None:
+        from .web import WebViewer
+
+        WebViewer(arrays, camera, config).serve(port=web)
+        return
+
     key = jax.random.PRNGKey(0)
     fps = 0.0
     angle = 0.0
@@ -249,6 +259,10 @@ def main():
                     choices=["primary", "whitted", "path", "ao"])
     ap.add_argument("--ao-radius", type=float, default=1.0,
                     help="--mode ao: world-space occlusion query radius")
+    ap.add_argument("--web", type=int, default=None, metavar="PORT",
+                    help="serve the live browser viewer on PORT "
+                         "(mouse orbit + WASD fly; app/web.py) instead "
+                         "of running the timed loop")
     ap.add_argument("--fly", action="store_true",
                     help="animated camera fly-through")
     ap.add_argument("--out", default="out.png")
@@ -326,7 +340,7 @@ def main():
         path_lights=args.path_lights,
         tonemap=args.tonemap, exposure=args.exposure,
         denoise=args.denoise, ao_radius=args.ao_radius, calib=args.calib,
-        normal_mode=args.normal_mode,
+        normal_mode=args.normal_mode, web=args.web,
     )
 
 
