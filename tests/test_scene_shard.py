@@ -189,6 +189,81 @@ def test_whitted_scene_sharded_matches_full_scene():
 
 
 @needs4
+def test_path_scene_sharded_matches_full_scene():
+    """Path tracing with geometry sharded (the _sharded_hooks seam in
+    integrators.render_path_traced): NEE point + directional lights,
+    bounce casts, and the fast-tail occlusion cast all combined over
+    the mesh axis. The random stream depends only on (key, shape) —
+    identical across shards and vs the single-device render — so the
+    4-shard image matches the full-scene path render bit-for-bit
+    except on exact-t tie pixels (different per-chunk BVH order)."""
+    from tpu_raytracer.parallel import render_image_path_scene_sharded
+    from tpu_raytracer.render.integrators import PointLight
+    from tpu_raytracer.render.pipeline import render_image_path_traced
+
+    scene, cam = _scene()
+    scene.materials[0].reflectivity = 0.3  # exercise the specular lobe
+    stacked = shard_compile(scene, 4)
+    mesh = make_mesh(4, axis="scene")
+    p = cam.ray_params()
+    cfg = RenderConfig(
+        cam.width, cam.height, backend="bvh", path_lights=True,
+        point_lights=(PointLight((0.0, -1.0, 2.0), 5.0),),
+    )
+    key = jax.random.key(7)
+    img = np.asarray(render_image_path_scene_sharded(
+        cfg, mesh, stacked, p["K_inv"], p["D"], p["pose"], p["inv_pose"],
+        key, max_bounces=2, samples=2,
+    ))
+
+    # exact vs the 1-shard run of the same code path
+    img1 = np.asarray(render_image_path_scene_sharded(
+        cfg, make_mesh(1, axis="scene"), shard_compile(scene, 1),
+        p["K_inv"], p["D"], p["pose"], p["inv_pose"], key,
+        max_bounces=2, samples=2,
+    ))
+    np.testing.assert_array_equal(img, img1)
+
+    flat, tri_mat = scene.flattened()
+    full = flat.compile(auto_page=False, _tri_mat=tri_mat)
+    ref = np.asarray(render_image_path_traced(
+        cfg, full, p["K_inv"], p["D"], p["pose"], p["inv_pose"], key,
+        max_bounces=2, samples=2,
+    ))
+    mismatch = (img != ref).any(-1).mean()
+    assert mismatch < 0.01, mismatch
+    assert (img != img[0, 0]).any()  # not a constant image
+
+
+@needs4
+def test_path_scene_sharded_fast_tail_skyonly():
+    """The no-NEE sky-ambient configuration routes its FINAL bounce
+    through the pmin-combined ANY-HIT cast (the fast tail): sharded ==
+    single-device on the same flattened geometry (tie pixels only)."""
+    from tpu_raytracer.parallel import render_image_path_scene_sharded
+    from tpu_raytracer.render.pipeline import render_image_path_traced
+
+    scene, cam = _scene()
+    stacked = shard_compile(scene, 4)
+    mesh = make_mesh(4, axis="scene")
+    p = cam.ray_params()
+    cfg = RenderConfig(cam.width, cam.height, backend="bvh")
+    key = jax.random.key(3)
+    img = np.asarray(render_image_path_scene_sharded(
+        cfg, mesh, stacked, p["K_inv"], p["D"], p["pose"], p["inv_pose"],
+        key, max_bounces=2, samples=2,
+    ))
+    flat, tri_mat = scene.flattened()
+    full = flat.compile(auto_page=False, _tri_mat=tri_mat)
+    ref = np.asarray(render_image_path_traced(
+        cfg, full, p["K_inv"], p["D"], p["pose"], p["inv_pose"], key,
+        max_bounces=2, samples=2,
+    ))
+    mismatch = (img != ref).any(-1).mean()
+    assert mismatch < 0.01, mismatch
+
+
+@needs4
 def test_shard_count_must_match_mesh():
     scene, cam = _scene()
     stacked = shard_compile(scene, 2)

@@ -1,5 +1,6 @@
 from .scene_shard import (
     cast_rays_scene_sharded,
+    render_image_path_scene_sharded,
     render_image_scene_sharded,
     render_image_whitted_scene_sharded,
     shard_compile,
@@ -14,6 +15,7 @@ from .sharding import (
 __all__ = [
     "cast_rays_scene_sharded",
     "make_mesh",
+    "render_image_path_scene_sharded",
     "render_image_path_traced_sharded",
     "render_image_scene_sharded",
     "render_image_sharded",

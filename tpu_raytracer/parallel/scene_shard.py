@@ -168,6 +168,33 @@ def _combine_hit(hit: Hit, shard_id, stride, axis: str) -> Hit:
     return Hit(t=t_min, tri=out_tri, inst=out_inst), winner
 
 
+def _combined_cast_attrs(local, sid, stride, axis, cast, config):
+    """Build the sharded-combined ``(o, d) -> attrs`` closure: local
+    cast, lex-min hit combine over the mesh axis, winner-psum of every
+    shading input (the psum is an exact select because the winner mask
+    is one-hot across the axis)."""
+    def cast_attrs(o, d):
+        hit = cast(local, o, d)
+        combined, winner = _combine_hit(
+            Hit(t=hit.t, tri=hit.tri, inst=hit.inst), sid, stride, axis,
+        )
+        attrs = hit_attributes(local, o, d, hit, exact=config.exact_math,
+                               normal_mode=config.normal_mode)
+        sel = lambda x, m: jax.lax.psum(jnp.where(m, x, 0), axis)
+        wv = winner[..., None]
+        return attrs._replace(
+            hit=combined.t < FLT_MAX,
+            t=combined.t,
+            location=sel(attrs.location, wv),
+            normal=sel(attrs.normal, wv),
+            uv=sel(attrs.uv, wv),
+            material=sel(attrs.material, winner),
+            inst=combined.inst,
+        )
+
+    return cast_attrs
+
+
 def cast_rays_scene_sharded(
     mesh: Mesh, scene_stacked: SceneArrays, origin, directions,
     backend: str = "bvh",
@@ -325,26 +352,8 @@ def render_image_whitted_scene_sharded(
         loc_occ = occlusion_cast_fn(config.backend)
         ncast = get_cast_fn(config.backend)
 
-        def cast_attrs(o, d):
-            hit = cast(local, o, d)
-            combined, winner = _combine_hit(
-                Hit(t=hit.t, tri=hit.tri, inst=hit.inst), sid, stride,
-                axis,
-            )
-            attrs = hit_attributes(local, o, d, hit,
-                                   exact=config.exact_math,
-                                   normal_mode=config.normal_mode)
-            sel = lambda x, m: jax.lax.psum(jnp.where(m, x, 0), axis)
-            wv = winner[..., None]
-            return attrs._replace(
-                hit=combined.t < FLT_MAX,
-                t=combined.t,
-                location=sel(attrs.location, wv),
-                normal=sel(attrs.normal, wv),
-                uv=sel(attrs.uv, wv),
-                material=sel(attrs.material, winner),
-                inst=combined.inst,
-            )
+        cast_attrs = _combined_cast_attrs(local, sid, stride, axis, cast,
+                                          config)
 
         def occ_comb(_s, so, sd):
             # occluded iff ANY shard occludes
@@ -409,3 +418,86 @@ def render_image_whitted_scene_sharded(
         out_specs=P(),
         check_vma=False,
     )(scene_stacked, origin_b, directions)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 8, 9))
+def render_image_path_scene_sharded(
+    config: RenderConfig,
+    mesh: Mesh,
+    scene_stacked: SceneArrays,
+    K_inv: jax.Array,
+    D: jax.Array,
+    pose: jax.Array,
+    inv_pose: jax.Array,
+    key: jax.Array,
+    max_bounces: int = 3,
+    samples: int = 4,
+) -> jax.Array:
+    """Monte-Carlo path tracing with the GEOMETRY sharded over
+    ``mesh``: the full integrator (integrators.render_path_traced —
+    the realization of the reference's curand scaffolding,
+    raycast.cu:190-193) runs inside the shard body through its
+    ``_sharded_hooks`` seam, so every nearest-hit/NEE/fast-tail cast is
+    the COMBINED cast (local chunk + lex-min over ICI) and the
+    estimator math is the single-chip integrator by construction.
+    Sampling keys are replicated, so every chip draws the identical
+    random stream and radiance stays replicated without a gather.
+    NEE (config.path_lights) works: point-light visibility reads the
+    pmin-combined nearest t; directional shadows the pmin'd any-hit."""
+    from ..render.integrators import render_path_traced, to_u8, tonemap
+    from ..render.renderer import occlusion_cast_fn
+
+    axis = mesh.axis_names[0]
+    stride = _tri_stride(scene_stacked)
+
+    origin, directions = generate_rays(
+        config.width, config.height, K_inv, D, pose, inv_pose,
+        exact=config.exact_math,
+    )
+    origin_b = jnp.broadcast_to(origin, directions.shape)
+
+    def body(sc, o0, d0, k):
+        local = _local(sc)
+        sid = jax.lax.axis_index(axis)
+        cast = get_cast_fn(config.backend, want_normals=True)
+        loc_occ = occlusion_cast_fn(config.backend)
+        ncast = get_cast_fn(config.backend)
+
+        def occ_comb(_s, so, sd):
+            # occluded iff ANY shard occludes
+            occ = loc_occ(local, so, sd)
+            return Hit(t=jax.lax.pmin(occ.t, axis), tri=occ.tri,
+                       inst=occ.inst)
+
+        def nearest_comb(_s, so, sd):
+            # distance-only combined nearest (point-light visibility
+            # reads t alone)
+            h = ncast(local, so, sd)
+            return Hit(t=jax.lax.pmin(h.t, axis), tri=h.tri, inst=h.inst)
+
+        radiance = render_path_traced(
+            local, o0, d0, k,
+            max_bounces=max_bounces, samples=samples,
+            backend=config.backend, exact=config.exact_math,
+            sort_secondary=False, tex_filter=config.texture_filter,
+            light_direction=(config.light_direction
+                             if config.path_lights else None),
+            point_lights=(config.point_lights
+                          if config.path_lights else ()),
+            sun_intensity=config.sun_intensity,
+            normal_mode=config.normal_mode,
+            _sharded_hooks={
+                "cast_attrs": _combined_cast_attrs(
+                    local, sid, stride, axis, cast, config),
+                "occ": occ_comb,
+                "nearest": nearest_comb,
+            },
+        )
+        return to_u8(tonemap(radiance, config.tonemap, config.exposure))
+
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )(scene_stacked, origin_b, directions, key)

@@ -300,6 +300,7 @@ def render_path_traced(
     sun_intensity: float = 1.0,
     normal_mode: str = "reference",
     sample_batch: bool = True,
+    _sharded_hooks: dict | None = None,
 ) -> jax.Array:
     """Monte-Carlo path tracing (the stochastic bounce design the
     reference's curand setup anticipated, raycast.cu:190-193).
@@ -368,6 +369,27 @@ def render_path_traced(
     occ2 = _secondary_cast_fn(
         occlusion_cast_fn(backend, packet=bpacket), backend, sort_secondary
     )
+    # Scene-sharded seam (parallel/scene_shard.py): when the geometry is
+    # sharded over a device mesh, every cast must be the COMBINED cast
+    # (local chunk + lex-min over the mesh axis) and hit attributes the
+    # winner-psum'd combined attrs. The hooks replace exactly the
+    # cast+attrs sites; the estimator math above/below is untouched, so
+    # the sharded path is the same integrator by construction.
+    if _sharded_hooks is None:
+        def _attrs_primary(o, d):
+            return hit_attributes(scene, o, d, cast(scene, o, d),
+                                  exact=exact, normal_mode=normal_mode)
+
+        def _attrs_bounce(o, d):
+            return hit_attributes(scene, o, d, cast2(scene, o, d),
+                                  exact=exact, normal_mode=normal_mode)
+
+        _tail_occ = occ2
+        _nee_cast, _nee_occ = cast, occ_cast
+    else:
+        _attrs_primary = _attrs_bounce = _sharded_hooks["cast_attrs"]
+        _tail_occ = _sharded_hooks["occ"]
+        _nee_cast, _nee_occ = _sharded_hooks["nearest"], _sharded_hooks["occ"]
     directions = jnp.asarray(directions, jnp.float32)
     origin = jnp.broadcast_to(jnp.asarray(origin, jnp.float32), directions.shape)
     shape = directions.shape[:-1]
@@ -399,8 +421,8 @@ def render_path_traced(
             # mix: T * (1-refl) * albedo/pi * cos_i * vis * intensity
             # (albedo is already folded into throughput above)
             illum = _direct_illumination(
-                scene, cast, attrs, light_direction, point_lights,
-                exact, shadows=True, occ_cast=occ_cast, shadow_floor=0.0,
+                scene, _nee_cast, attrs, light_direction, point_lights,
+                exact, shadows=True, occ_cast=_nee_occ, shadow_floor=0.0,
             )
             w = (1.0 - refl) * illum * (inv_pi * sun_intensity)
             radiance = radiance + jnp.where(
@@ -436,10 +458,7 @@ def render_path_traced(
     # design re-traces primaries per sample; raycast.cu:190-204).
     dof = lens_radius > 0.0
     if not dof:
-        attrs0 = hit_attributes(
-            scene, origin, directions, cast(scene, origin, directions),
-            exact=exact, normal_mode=normal_mode,
-        )
+        attrs0 = _attrs_primary(origin, directions)
     else:
         # lens basis perpendicular to the mean view axis
         axis = normalize(
@@ -462,14 +481,12 @@ def render_path_traced(
                 # final bounce: boolean visibility is the whole answer
                 throughput, radiance, active = state[2], state[3], state[4]
                 sky = sky_radiance(scene, d, exact=exact) * sky_strength
-                miss = active & (occ2(scene, o, d).t >= FLT_MAX)
+                miss = active & (_tail_occ(scene, o, d).t >= FLT_MAX)
                 radiance = radiance + jnp.where(
                     miss[..., None], throughput * sky, 0.0
                 )
                 return radiance
-            hit = cast2(scene, o, d)
-            attrs = hit_attributes(scene, o, d, hit, exact=exact,
-                                   normal_mode=normal_mode)
+            attrs = _attrs_bounce(o, d)
             state = bounce_from_attrs(state, attrs, keys[b])
         return state[3]
 
@@ -519,10 +536,7 @@ def render_path_traced(
             focal = origin + directions * focus_distance
             o0 = jnp.broadcast_to(origin, directions.shape) + off
             d0 = normalize(focal - o0, exact=exact)
-            a0 = hit_attributes(
-                scene, o0, d0, cast(scene, o0, d0), exact=exact,
-                normal_mode=normal_mode,
-            )
+            a0 = _attrs_primary(o0, d0)
         else:
             a0 = attrs0
         state = (
