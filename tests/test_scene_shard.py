@@ -117,6 +117,41 @@ def test_sharded_render_matches_full_scene():
 
 
 @needs4
+def test_sharded_render_point_lights():
+    """Primary scene-sharded render with POINT lights: their
+    distance-bounded visibility rides the pmin-combined NEAREST cast
+    (shade.compute_illumination's nearest_cast_fn injection) — matches
+    the single-device render of the same flattened scene."""
+    from tpu_raytracer.render.integrators import PointLight
+
+    scene, cam = _scene()
+    stacked = shard_compile(scene, 4)
+    mesh = make_mesh(4, axis="scene")
+    p = cam.ray_params()
+    cfg = RenderConfig(
+        cam.width, cam.height, backend="bvh", lighting="lambert_shadow",
+        point_lights=(PointLight((0.0, -1.0, 2.0), 5.0),),
+    )
+    img = np.asarray(render_image_scene_sharded(
+        cfg, mesh, stacked, p["K_inv"], p["D"], p["pose"], p["inv_pose"]
+    ))
+    flat, tri_mat = scene.flattened()
+    full = flat.compile(auto_page=False, _tri_mat=tri_mat)
+    ref = np.asarray(render_image(
+        cfg, full, p["K_inv"], p["D"], p["pose"], p["inv_pose"]
+    ))
+    mismatch = (img != ref).any(-1).mean()
+    assert mismatch < 0.01, mismatch
+    # the point light actually changed pixels vs the no-light render
+    cfg0 = RenderConfig(cam.width, cam.height, backend="bvh",
+                        lighting="lambert_shadow")
+    ref0 = np.asarray(render_image(
+        cfg0, full, p["K_inv"], p["D"], p["pose"], p["inv_pose"]
+    ))
+    assert (ref != ref0).any(-1).mean() > 0.01
+
+
+@needs4
 def test_sharded_cast_pallas_backend():
     """The flagship Pallas kernel family runs INSIDE the shard body
     (VERDICT r4 item 7): shard_compile now stacks per-chunk wide4

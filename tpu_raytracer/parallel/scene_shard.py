@@ -19,10 +19,12 @@ outgrows one chip's HBM. This module shards the GEOMETRY instead:
     min-reduction over the mesh axis — ``jax.lax.pmin`` riding ICI —
     crowns the scene-wide nearest hit. Shading runs on the combined
     attributes (each field a winner-masked ``psum``), and hard-shadow
-    occlusion is the pmin of the per-shard any-hit casts, so every
-    lighting mode composes. ``render_image_whitted_scene_sharded``
-    extends the same combine to every reflection bounce (and supports
-    point lights through pmin-combined nearest casts).
+    occlusion is the pmin of the per-shard any-hit casts — point
+    lights ride pmin-combined NEAREST casts — so every lighting mode
+    composes. ``render_image_whitted_scene_sharded`` extends the same
+    combine to every reflection bounce, and
+    ``render_image_path_scene_sharded`` runs the full path integrator
+    (NEE + fast tail) inside the shard body.
 
 Combine semantics: the winner is the smallest t, ties broken by the
 smaller GLOBAL triangle id (``shard * stride + local-BVH-index``) —
@@ -246,8 +248,6 @@ def render_image_scene_sharded(
     axis = mesh.axis_names[0]
     stride = _tri_stride(scene_stacked)
     want_n = config.lighting != "flat"
-    if config.point_lights:
-        raise ValueError("scene-sharded rendering has no point lights yet")
 
     origin, directions = generate_rays(
         config.width, config.height, K_inv, D, pose, inv_pose,
@@ -290,11 +290,21 @@ def render_image_scene_sharded(
             return Hit(t=jax.lax.pmin(occ.t, axis), tri=occ.tri,
                        inst=occ.inst)
 
+        def sharded_nearest(_scene, so, sd):
+            # distance-only combined nearest: point-light visibility
+            # (lit = occ.t >= dist) needs the true nearest t — an
+            # any-hit's first-accepted t could sit past the light with
+            # a closer occluder unreported
+            h = get_cast_fn(config.backend)(local, so, sd)
+            return Hit(t=jax.lax.pmin(h.t, axis), tri=h.tri, inst=h.inst)
+
         img = shade_primary(
             local, cattrs, config.light_direction, config.lighting,
             exact=config.exact_math, backend=config.backend,
             directions=directions, tex_filter=config.texture_filter,
+            point_lights=config.point_lights,
             cast_fn=sharded_occlusion,
+            nearest_cast_fn=sharded_nearest,
         )
         return img
 
@@ -322,9 +332,8 @@ def render_image_whitted_scene_sharded(
     7): every bounce's nearest-hit cast runs against the local chunk
     and is lex-min combined over ICI — so reflection chains see the
     whole scene while each chip holds 1/n of it. Directional shadows
-    are pmin-combined any-hit casts; POINT lights work here (unlike the
-    primary scene-sharded path) through pmin-combined nearest casts —
-    their query only reads the combined t. The shading math mirrors
+    are pmin-combined any-hit casts; POINT lights ride pmin-combined
+    nearest casts — their query only reads the combined t. The shading math mirrors
     integrators.render_whitted bounce for bounce; replicated per-chip
     compute keeps every shard's radiance identical, so out_specs
     replicate without a gather."""

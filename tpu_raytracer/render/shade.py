@@ -294,6 +294,7 @@ def compute_illumination(
     directions=None,
     point_lights: tuple = (),
     cast_fn=None,
+    nearest_cast_fn=None,
 ) -> jax.Array:
     """Scalar illumination per ray.
 
@@ -358,17 +359,21 @@ def compute_illumination(
         elif mode != "lambert":
             raise ValueError(f"unknown lighting mode: {mode}")
     if point_lights and mode != "flat":
-        if cast_fn is not None:
+        if cast_fn is not None and nearest_cast_fn is None:
             raise ValueError(
-                "point lights are not supported with a cast_fn override "
-                "(scene-sharded rendering)"
+                "point lights with a cast_fn override also need "
+                "nearest_cast_fn (scene-sharded rendering injects the "
+                "min-combined NEAREST cast: the any-hit override is "
+                "wrong for distance-bounded light visibility)"
             )
-        if mode == "lambert_shadow":
+        if mode != "lambert_shadow":
+            pcast = None  # unshadowed point term
+        elif nearest_cast_fn is not None:
+            pcast = nearest_cast_fn
+        else:
             from .sorted_cast import secondary_cast_fn
 
             pcast = secondary_cast_fn(get_cast_fn(backend), backend)
-        else:
-            pcast = None
         illum = illum + point_light_illumination(
             scene, attrs, point_lights, cast=pcast
         )
@@ -388,6 +393,7 @@ def shade_primary(
     point_lights: tuple = (),
     tex_filter: str = "nearest",
     cast_fn=None,
+    nearest_cast_fn=None,
 ) -> jax.Array:
     """Full primary-hit shade -> uint8 image in the reference's channel
     order. Misses get the sky color (raycast.cu:208-216)."""
@@ -399,6 +405,7 @@ def shade_primary(
     illum = compute_illumination(
         scene, attrs, light_direction, mode, exact=exact, backend=backend,
         directions=directions, point_lights=point_lights, cast_fn=cast_fn,
+        nearest_cast_fn=nearest_cast_fn,
     )
     rgb = illum[..., None] * color * jnp.float32(255.0)
     shaded = rgb.astype(jnp.uint8)  # C-cast truncation (raycast.cu:292-294)
