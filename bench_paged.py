@@ -136,9 +136,21 @@ def instanced_page_major(columns: int):
     o, d = generate_rays(cam.width, cam.height, p["K_inv"], p["D"],
                          p["pose"], p["inv_pose"])
 
-    dt = timed(lambda: cast_rays_paged_major(arrays, tables, o, d), frames=4)
+    # ONE eager full-frame cast fills the DMA counters (stats live in
+    # a host dict, so this path cannot run under jit)...
+    cast_rays_paged_major(arrays, tables, o, d)
     streamed = int(_PAGED_STATS["pages_streamed"])
     n_items = arrays.num_instances * tables.num_pages
+    # ...but TIMING must be the jitted whole-frame cast with stats off:
+    # eagerly, every host-level op is its own ~25ms tunnel round-trip
+    # (CLAUDE.md), which buried the kernel under ~9s of dispatch floor
+    # (the r4 0.11 fps reading was that artifact, not kernel time).
+    os.environ["TRT_KERNEL_STATS"] = "0"
+    jcast = jax.jit(
+        lambda oo, dd: cast_rays_paged_major(arrays, tables, oo, dd).t
+    )
+    dt = timed(lambda: jcast(o, d), frames=4)
+    os.environ["TRT_KERNEL_STATS"] = "1"
 
     # exactness sample vs brute (chunked; see above)
     d_np = np.asarray(d)

@@ -82,6 +82,7 @@ def run(
     calib: bool = False,
     normal_mode: str = "reference",
     web: int | None = None,
+    web_host: str = "127.0.0.1",
 ):
     """The render loop (kernel.cu:266-296): N timed frames, FPS printed
     per frame, final frame saved with the FPS overlay.
@@ -161,7 +162,9 @@ def run(
     if web is not None:
         from .web import WebViewer
 
-        WebViewer(arrays, camera, config).serve(port=web)
+        WebViewer(
+            arrays, camera, config, mode=mode, ao_radius=ao_radius,
+        ).serve(host=web_host, port=web)
         return
 
     key = jax.random.PRNGKey(0)
@@ -262,7 +265,11 @@ def main():
     ap.add_argument("--web", type=int, default=None, metavar="PORT",
                     help="serve the live browser viewer on PORT "
                          "(mouse orbit + WASD fly; app/web.py) instead "
-                         "of running the timed loop")
+                         "of running the timed loop; honors --mode")
+    ap.add_argument("--web-host", default="127.0.0.1",
+                    help="viewer bind address (default loopback; the "
+                         "viewer has no auth — 0.0.0.0 exposes camera "
+                         "control to the network)")
     ap.add_argument("--fly", action="store_true",
                     help="animated camera fly-through")
     ap.add_argument("--out", default="out.png")
@@ -341,6 +348,7 @@ def main():
         tonemap=args.tonemap, exposure=args.exposure,
         denoise=args.denoise, ao_radius=args.ao_radius, calib=args.calib,
         normal_mode=args.normal_mode, web=args.web,
+        web_host=args.web_host,
     )
 
 

@@ -78,17 +78,34 @@ window.addEventListener('keydown', e => {
 class WebViewer:
     """Serve a live, interactive render of ``scene`` at ``camera``'s
     starting pose. Thread-safe pose state; one render per frame
-    request (the browser self-paces by re-requesting on load)."""
+    request (the browser self-paces by re-requesting on load).
+
+    ``mode`` selects the integrator like the driver loop: primary |
+    whitted | path | ao (path re-seeds per frame — a live preview,
+    not an accumulator)."""
 
     def __init__(self, scene, camera, config: RenderConfig | None = None,
-                 move_step: float = 0.15):
+                 move_step: float = 0.15, mode: str = "primary",
+                 path_samples: int = 2, path_bounces: int = 3,
+                 ao_radius: float = 1.0):
+        if mode not in ("primary", "whitted", "path", "ao"):
+            raise ValueError(f"unknown mode {mode!r}")
         self.scene = scene
         self.camera = camera
         self.config = config or RenderConfig(
             width=camera.width, height=camera.height,
         )
         self.move_step = float(move_step)
+        self.mode = mode
+        self.path_samples = int(path_samples)
+        self.path_bounces = int(path_bounces)
+        self.ao_radius = float(ao_radius)
         self._lock = threading.Lock()
+        # serialize renders: ThreadingHTTPServer handles requests on
+        # threads, and concurrent jit traces in one process are not
+        # safe (kernels/family.py single-trace assumption; and there
+        # is one chip anyway)
+        self._render_lock = threading.Lock()
         self._pose = np.array(camera.pose, np.float32)
         p = camera.ray_params()
         self._K_inv, self._D = p["K_inv"], p["D"]
@@ -120,14 +137,41 @@ class WebViewer:
 
         pose = self.pose()
         inv_pose = np.asarray(T.invert_lre(pose))
-        img = np.asarray(render_image(
-            self.config, self.scene, self._K_inv, self._D, pose, inv_pose,
-        ))
-        self.frames_rendered += 1
+        with self._render_lock:
+            args = (self.config, self.scene, self._K_inv, self._D,
+                    pose, inv_pose)
+            if self.mode == "whitted":
+                from ..render.pipeline import render_image_whitted
+
+                img = render_image_whitted(*args)
+            elif self.mode == "path":
+                import jax
+
+                from ..render.pipeline import render_image_path_traced
+
+                key = jax.random.fold_in(
+                    jax.random.PRNGKey(0), self.frames_rendered
+                )
+                img = render_image_path_traced(
+                    *args, key, self.path_bounces, self.path_samples,
+                )
+            elif self.mode == "ao":
+                import jax
+
+                from ..render.pipeline import render_image_ao
+
+                key = jax.random.fold_in(
+                    jax.random.PRNGKey(0), self.frames_rendered
+                )
+                img = render_image_ao(*args, key, 8, self.ao_radius)
+            else:
+                img = render_image(*args)
+            img = np.asarray(img)
+            self.frames_rendered += 1
         return encode_png(img)
 
     # -- server ----------------------------------------------------------
-    def make_server(self, host: str = "0.0.0.0", port: int = 8000
+    def make_server(self, host: str = "127.0.0.1", port: int = 8000
                     ) -> ThreadingHTTPServer:
         viewer = self
         page = (_PAGE
@@ -177,9 +221,14 @@ class WebViewer:
 
         return ThreadingHTTPServer((host, port), Handler)
 
-    def serve(self, host: str = "0.0.0.0", port: int = 8000) -> None:
+    def serve(self, host: str = "127.0.0.1", port: int = 8000) -> None:
+        # loopback by default: the viewer has no auth, and its POST
+        # endpoints move the camera / its GET renders burn the chip —
+        # pass host="0.0.0.0" explicitly to expose it (e.g. via the
+        # driver's --web-host)
         srv = self.make_server(host, port)
-        print(f"live viewer on http://{host}:{srv.server_address[1]}/ "
+        shown = "localhost" if host in ("0.0.0.0", "") else host
+        print(f"live viewer on http://{shown}:{srv.server_address[1]}/ "
               "(drag to orbit, wasd/qe to fly, ctrl-c to stop)")
         try:
             srv.serve_forever()

@@ -53,8 +53,12 @@ _MODS = ("traversal", "dual", "tlas", "paged", "paged_wide",
 _FAMILIES: dict = {}
 # serializes family builds and swap windows (get_family's sys.modules
 # pop/re-import and _entries' install/restore both mutate process
-# globals; the lock turns the documented single-threaded assumption
-# into an enforced invariant). RLock: a family cast traced inside
+# globals). NOTE the lock covers only FAMILY operations: a
+# default-family trace on another thread takes no lock, and its lazy
+# kernel imports during a concurrent swap window would resolve to the
+# swapped (narrow-geometry) modules. Callers that trace from multiple
+# threads must serialize renders themselves (app/web.py holds its own
+# render lock for exactly this). RLock: a family cast traced inside
 # another family's swap window (nested _entries) must not self-deadlock.
 _LOCK = threading.RLock()
 

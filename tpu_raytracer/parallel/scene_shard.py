@@ -162,12 +162,43 @@ def _combine_hit(hit: Hit, shard_id, stride, axis: str) -> Hit:
     gtri = hit.tri + shard_id * stride
     cand = jnp.where((hit.t == t_min) & (hit.tri >= 0), gtri, _MISS_TRI)
     gtri_min = jax.lax.pmin(cand, axis)
-    winner = cand == gtri_min
     miss = gtri_min >= _MISS_TRI
+    # exclude all-miss lanes: every shard ties at _MISS_TRI there, and
+    # a True winner on N shards would break the one-hot invariant the
+    # psum-select combiners rely on (they'd sum N shards' garbage)
+    winner = (cand == gtri_min) & ~miss
     out_tri = jnp.where(miss, jnp.int32(-1), gtri_min)
     inst = jax.lax.psum(jnp.where(winner, hit.inst, 0), axis)
     out_inst = jnp.where(miss, jnp.int32(-1), inst)
     return Hit(t=t_min, tri=out_tri, inst=out_inst), winner
+
+
+def _combined_occ(local, axis, backend):
+    """Mesh-combined ANY-HIT cast: occluded iff ANY shard occludes
+    (t drops below FLT_MAX under the pmin)."""
+    from ..render.renderer import occlusion_cast_fn
+
+    loc_occ = occlusion_cast_fn(backend)
+
+    def occ(_scene, so, sd):
+        h = loc_occ(local, so, sd)
+        return Hit(t=jax.lax.pmin(h.t, axis), tri=h.tri, inst=h.inst)
+
+    return occ
+
+
+def _combined_nearest(local, axis, backend):
+    """Mesh-combined NEAREST cast, distance only: point-light
+    visibility (lit = t >= dist) needs the true nearest t — an
+    any-hit's first-accepted hit could sit past the light with a
+    closer occluder unreported."""
+    ncast = get_cast_fn(backend)
+
+    def nearest(_scene, so, sd):
+        h = ncast(local, so, sd)
+        return Hit(t=jax.lax.pmin(h.t, axis), tri=h.tri, inst=h.inst)
+
+    return nearest
 
 
 def _combined_cast_attrs(local, sid, stride, axis, cast, config):
@@ -244,7 +275,9 @@ def render_image_scene_sharded(
     of the same flattened geometry."""
     from ..render.integrators import to_u8, tonemap
     from ..render.shade import shade_primary
+    from .sharding import check_sharded_config
 
+    check_sharded_config(config)
     axis = mesh.axis_names[0]
     stride = _tri_stride(scene_stacked)
     want_n = config.lighting != "flat"
@@ -258,53 +291,17 @@ def render_image_scene_sharded(
     def body(sc, o, d):
         local = _local(sc)
         sid = jax.lax.axis_index(axis)
-        hit = get_cast_fn(config.backend, want_normals=want_n)(local, o, d)
-        combined, winner = _combine_hit(
-            Hit(t=hit.t, tri=hit.tri, inst=hit.inst), sid, stride, axis,
-        )
-        attrs = hit_attributes(local, o, d, hit, exact=config.exact_math,
-                               normal_mode=config.normal_mode)
-        # broadcast the winning shard's shading inputs to every chip
-        # (the winner mask is one-hot across the axis, so psum = select)
-        def sel(x, mask):
-            return jax.lax.psum(jnp.where(mask, x, 0), axis)
-
-        hit_any = combined.t < FLT_MAX
-        wv = winner[..., None]
-        cattrs = attrs._replace(
-            hit=hit_any,
-            t=combined.t,
-            location=sel(attrs.location, wv),
-            normal=sel(attrs.normal, wv),
-            uv=sel(attrs.uv, wv),
-            material=sel(attrs.material, winner),
-            inst=combined.inst,
-        )
-
-        def sharded_occlusion(_scene, so, sd):
-            # any-hit vs the LOCAL chunk, min-combined: occluded iff
-            # ANY shard occludes (t drops below FLT_MAX)
-            from ..render.renderer import occlusion_cast_fn
-
-            occ = occlusion_cast_fn(config.backend)(local, so, sd)
-            return Hit(t=jax.lax.pmin(occ.t, axis), tri=occ.tri,
-                       inst=occ.inst)
-
-        def sharded_nearest(_scene, so, sd):
-            # distance-only combined nearest: point-light visibility
-            # (lit = occ.t >= dist) needs the true nearest t — an
-            # any-hit's first-accepted t could sit past the light with
-            # a closer occluder unreported
-            h = get_cast_fn(config.backend)(local, so, sd)
-            return Hit(t=jax.lax.pmin(h.t, axis), tri=h.tri, inst=h.inst)
-
+        cattrs = _combined_cast_attrs(
+            local, sid, stride, axis,
+            get_cast_fn(config.backend, want_normals=want_n), config,
+        )(o, d)
         img = shade_primary(
             local, cattrs, config.light_direction, config.lighting,
             exact=config.exact_math, backend=config.backend,
             directions=directions, tex_filter=config.texture_filter,
             point_lights=config.point_lights,
-            cast_fn=sharded_occlusion,
-            nearest_cast_fn=sharded_nearest,
+            cast_fn=_combined_occ(local, axis, config.backend),
+            nearest_cast_fn=_combined_nearest(local, axis, config.backend),
         )
         return img
 
@@ -333,18 +330,15 @@ def render_image_whitted_scene_sharded(
     and is lex-min combined over ICI — so reflection chains see the
     whole scene while each chip holds 1/n of it. Directional shadows
     are pmin-combined any-hit casts; POINT lights ride pmin-combined
-    nearest casts — their query only reads the combined t. The shading math mirrors
-    integrators.render_whitted bounce for bounce; replicated per-chip
-    compute keeps every shard's radiance identical, so out_specs
-    replicate without a gather."""
-    from ..core.tables import take_rows
-    from ..core.vecmath import normalize
-    from ..render.integrators import (
-        _direct_illumination, _park, _reflect, to_u8, tonemap,
-    )
-    from ..render.renderer import occlusion_cast_fn
-    from ..render.shade import SHADOW_EPS, sky_radiance, surface_color
+    nearest casts — their query only reads the combined t. The
+    estimator IS integrators.render_whitted, run inside the shard body
+    through its ``_sharded_hooks`` seam (no duplicated shading math);
+    replicated per-chip compute keeps every shard's radiance
+    identical, so out_specs replicate without a gather."""
+    from ..render.integrators import render_whitted, to_u8, tonemap
+    from .sharding import check_sharded_config
 
+    check_sharded_config(config)
     axis = mesh.axis_names[0]
     stride = _tri_stride(scene_stacked)
 
@@ -357,68 +351,24 @@ def render_image_whitted_scene_sharded(
     def body(sc, o0, d0):
         local = _local(sc)
         sid = jax.lax.axis_index(axis)
-        cast = get_cast_fn(config.backend, want_normals=True)
-        loc_occ = occlusion_cast_fn(config.backend)
-        ncast = get_cast_fn(config.backend)
-
-        cast_attrs = _combined_cast_attrs(local, sid, stride, axis, cast,
-                                          config)
-
-        def occ_comb(_s, so, sd):
-            # occluded iff ANY shard occludes
-            occ = loc_occ(local, so, sd)
-            return Hit(t=jax.lax.pmin(occ.t, axis), tri=occ.tri,
-                       inst=occ.inst)
-
-        def nearest_comb(_s, so, sd):
-            # distance-only combined nearest (point-light visibility
-            # reads t alone)
-            h = ncast(local, so, sd)
-            return Hit(t=jax.lax.pmin(h.t, axis), tri=h.tri, inst=h.inst)
-
-        shape = d0.shape[:-1]
-        radiance = jnp.zeros(shape + (3,), jnp.float32)
-        throughput = jnp.ones(shape + (3,), jnp.float32)
-        active = jnp.ones(shape, bool)
-        o, d = o0, d0
-        for bounce in range(max_bounces + 1):
-            attrs = cast_attrs(o, d)
-            miss = active & ~attrs.hit
-            sky = sky_radiance(local, d, exact=config.exact_math)
-            radiance = radiance + jnp.where(
-                miss[..., None], throughput * sky, 0.0
-            )
-            live = active & attrs.hit
-            color = surface_color(local, attrs,
-                                  tex_filter=config.texture_filter)
-            illum = _direct_illumination(
-                local, nearest_comb, attrs, config.light_direction,
-                config.point_lights, config.exact_math, shadows,
-                occ_cast=occ_comb, clamp_floor=0.4,
-            )
-            illum = jnp.clip(illum, 0.4, 1.0)
-            rrec = take_rows(
-                jnp.stack([local.mat_reflectivity,
-                           local.mat_illumination], axis=1),
-                attrs.material,
-            )
-            refl = rrec[..., 0]
-            emit = rrec[..., 1]
-            shade = (color * illum[..., None] * (1.0 - refl[..., None])
-                     + emit[..., None])
-            radiance = radiance + jnp.where(
-                live[..., None], throughput * shade, 0.0
-            )
-            if bounce == max_bounces:
-                break
-            throughput = throughput * jnp.where(
-                live[..., None], color * refl[..., None], 0.0
-            )
-            active = live & (refl > 0.0)
-            d = normalize(_reflect(d, attrs.normal),
-                          exact=config.exact_math)
-            o = attrs.location + d * SHADOW_EPS
-            o, d = _park(o, d, active)
+        radiance = render_whitted(
+            local, o0, d0, max_bounces=max_bounces,
+            backend=config.backend,
+            light_direction=config.light_direction,
+            point_lights=config.point_lights,
+            shadows=shadows, exact=config.exact_math,
+            tex_filter=config.texture_filter,
+            normal_mode=config.normal_mode,
+            _sharded_hooks={
+                "cast_attrs": _combined_cast_attrs(
+                    local, sid, stride, axis,
+                    get_cast_fn(config.backend, want_normals=True),
+                    config,
+                ),
+                "occ": _combined_occ(local, axis, config.backend),
+                "nearest": _combined_nearest(local, axis, config.backend),
+            },
+        )
         return to_u8(tonemap(radiance, config.tonemap, config.exposure))
 
     return jax.shard_map(
@@ -454,8 +404,9 @@ def render_image_path_scene_sharded(
     NEE (config.path_lights) works: point-light visibility reads the
     pmin-combined nearest t; directional shadows the pmin'd any-hit."""
     from ..render.integrators import render_path_traced, to_u8, tonemap
-    from ..render.renderer import occlusion_cast_fn
+    from .sharding import check_sharded_config
 
+    check_sharded_config(config, path=True)
     axis = mesh.axis_names[0]
     stride = _tri_stride(scene_stacked)
 
@@ -469,21 +420,6 @@ def render_image_path_scene_sharded(
         local = _local(sc)
         sid = jax.lax.axis_index(axis)
         cast = get_cast_fn(config.backend, want_normals=True)
-        loc_occ = occlusion_cast_fn(config.backend)
-        ncast = get_cast_fn(config.backend)
-
-        def occ_comb(_s, so, sd):
-            # occluded iff ANY shard occludes
-            occ = loc_occ(local, so, sd)
-            return Hit(t=jax.lax.pmin(occ.t, axis), tri=occ.tri,
-                       inst=occ.inst)
-
-        def nearest_comb(_s, so, sd):
-            # distance-only combined nearest (point-light visibility
-            # reads t alone)
-            h = ncast(local, so, sd)
-            return Hit(t=jax.lax.pmin(h.t, axis), tri=h.tri, inst=h.inst)
-
         radiance = render_path_traced(
             local, o0, d0, k,
             max_bounces=max_bounces, samples=samples,
@@ -498,8 +434,8 @@ def render_image_path_scene_sharded(
             _sharded_hooks={
                 "cast_attrs": _combined_cast_attrs(
                     local, sid, stride, axis, cast, config),
-                "occ": occ_comb,
-                "nearest": nearest_comb,
+                "occ": _combined_occ(local, axis, config.backend),
+                "nearest": _combined_nearest(local, axis, config.backend),
             },
         )
         return to_u8(tonemap(radiance, config.tonemap, config.exposure))

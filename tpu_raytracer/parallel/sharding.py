@@ -33,6 +33,23 @@ def make_mesh(n_devices: int | None = None, axis: str = "rays") -> Mesh:
     return Mesh(devices, (axis,))
 
 
+def check_sharded_config(config: RenderConfig, path: bool = False) -> None:
+    """The sharded pipelines run the integrators directly (no
+    ``_with_ssaa`` wrapper, no denoiser): reject configs that would
+    silently render differently from the single-device pipeline
+    instead of dropping the feature. Trace-time (config is static)."""
+    if config.ssaa != 1:
+        raise ValueError(
+            "sharded rendering does not apply ssaa supersampling; "
+            "render at a higher resolution or supersample per shard"
+        )
+    if path and getattr(config, "denoise", 0):
+        raise ValueError(
+            "sharded path rendering does not run the denoiser; "
+            "denoise the gathered image on one device"
+        )
+
+
 def _shard_body(config: RenderConfig, scene: SceneArrays, origin, directions):
     """Per-chip slice of the render pipeline (runs under shard_map)."""
     cast = get_cast_fn(config.backend,
@@ -65,6 +82,7 @@ def render_image_sharded(
     flat-chunk path (correct, slower) — so heights that are a multiple
     of n * PIX_H are recommended for performance.
     """
+    check_sharded_config(config)
     axis = mesh.axis_names[0]
     n = mesh.shape[axis]
     if config.height % n != 0:
@@ -120,6 +138,7 @@ def render_image_whitted_sharded(
     """Whitted reflections with image rows sharded over ``mesh``.
     Secondary rays derive from each chip's own pixels, so the whole
     bounce loop stays shard-local — no collectives."""
+    check_sharded_config(config)
     axis = mesh.axis_names[0]
     if config.height % mesh.shape[axis] != 0:
         raise ValueError("height not divisible by the device count")
@@ -173,6 +192,7 @@ def render_image_path_traced_sharded(
     """Path tracing with image rows sharded over ``mesh``; every chip
     gets a DISTINCT fold of the rng key so samples decorrelate across
     shards."""
+    check_sharded_config(config, path=True)
     axis = mesh.axis_names[0]
     n = mesh.shape[axis]
     if config.height % n != 0:

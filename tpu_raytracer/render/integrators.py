@@ -143,6 +143,7 @@ def render_whitted(
     retile_secondary: bool = False,
     tex_filter: str = "nearest",
     normal_mode: str = "reference",
+    _sharded_hooks: dict | None = None,
 ) -> jax.Array:
     """Whitted-style recursive reflections, iteratively unrolled.
 
@@ -178,6 +179,14 @@ def render_whitted(
     cast2 = _secondary_cast_fn(bcast, backend, sort_secondary)
     dcast = _secondary_cast_fn(cast, backend, sort_secondary)
     occ_cast = occlusion_cast_fn(backend)
+    # Scene-sharded seam (parallel/scene_shard.py; same contract as
+    # render_path_traced's): the hooks swap exactly the cast+attrs and
+    # shadow-cast sites for mesh-combined versions, so the sharded
+    # whitted image is THIS estimator by construction, not a copy.
+    if _sharded_hooks is not None:
+        retile_secondary = False  # the permutation machinery stays
+        dcast = _sharded_hooks["nearest"]     # single-scene
+        occ_cast = _sharded_hooks["occ"]
     directions = jnp.asarray(directions, jnp.float32)
     origin = jnp.broadcast_to(jnp.asarray(origin, jnp.float32), directions.shape)
     shape = directions.shape[:-1]
@@ -189,9 +198,12 @@ def render_whitted(
     unscatter = None  # set when retiling kicks in after bounce 0
     o, d = origin, directions
     for bounce in range(max_bounces + 1):
-        hit = (cast if bounce == 0 else cast2)(scene, o, d)
-        attrs = hit_attributes(scene, o, d, hit, exact=exact,
-                               normal_mode=normal_mode)
+        if _sharded_hooks is not None:
+            attrs = _sharded_hooks["cast_attrs"](o, d)
+        else:
+            hit = (cast if bounce == 0 else cast2)(scene, o, d)
+            attrs = hit_attributes(scene, o, d, hit, exact=exact,
+                                   normal_mode=normal_mode)
 
         if bounce == 0 and retile_secondary and max_bounces > 0:
             # bucket by hit instance (major) then hit-point morton:

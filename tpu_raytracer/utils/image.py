@@ -11,15 +11,10 @@ import numpy as np
 
 
 def save_png(img, fp: str) -> None:
-    img = np.asarray(img, np.uint8)
-    try:
-        import cv2
-
-        cv2.imwrite(fp, img)
-    except ImportError:  # pragma: no cover
-        from PIL import Image
-
-        Image.fromarray(img[..., ::-1]).save(fp)
+    # one encode implementation (encode_png) so the on-disk out.png and
+    # the web viewer's frames can never disagree on channel order
+    with open(fp, "wb") as f:
+        f.write(encode_png(img))
 
 
 def encode_png(img) -> bytes:
