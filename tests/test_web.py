@@ -68,6 +68,46 @@ def test_web_viewer_http_surface():
         srv.server_close()
 
 
+def test_web_viewer_modes():
+    """--mode reaches the viewer: whitted frames differ from primary at
+    the same pose; path mode accumulates progressively (spp grows while
+    the camera holds still, resets when it moves)."""
+    from tpu_raytracer.app.web import WebViewer
+
+    scene = Scene()
+    m = Material(albedo=(0.8, 0.3, 0.2))
+    m.reflectivity = 0.5
+    scene.add_material(m)
+    scene.add_material(Material(albedo=(0.2, 0.6, 0.9)))
+    from tpu_raytracer.scene import objloader
+
+    v0, v1, v2 = procgen.icosphere(1)
+    scene.add_mesh(MeshPrimitive.from_triangles(v0, v1, v2))
+    scene.add_mesh(objloader.loads(procgen.board_obj(4.0, 4.0)))
+    scene.add_mesh_instance(MeshInstance(0, 0))
+    floor = MeshInstance(1, 1)
+    floor.pose = np.array([0.0, 0.0, -1.2, 0.0, 0.0, 0.0], np.float32)
+    scene.add_mesh_instance(floor)
+    arrays = scene.compile()
+    cam = Camera.looking(32, 32, fov_deg=55.0, pose=[0, -3.5, 1.0, 0, 0, 0])
+    cfg = RenderConfig(32, 32, backend="brute")
+
+    prim = WebViewer(arrays, cam, cfg).render_frame()
+    whit = WebViewer(arrays, cam, cfg, mode="whitted").render_frame()
+    assert whit != prim  # reflections visible at the same pose
+
+    pv = WebViewer(arrays, cam, cfg, mode="path", path_samples=1,
+                   path_bounces=1)
+    f1 = pv.render_frame()
+    assert pv._accum_n == 1
+    f2 = pv.render_frame()
+    assert pv._accum_n == 2  # held still: second sample accumulated
+    assert f2 != f1          # the average moved
+    pv.on_drag(50, 0)
+    pv.render_frame()
+    assert pv._accum_n == 1  # camera moved: accumulator reset
+
+
 def test_web_viewer_input_without_server():
     viewer = _viewer()
     p0 = viewer.pose()

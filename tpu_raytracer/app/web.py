@@ -81,8 +81,11 @@ class WebViewer:
     request (the browser self-paces by re-requesting on load).
 
     ``mode`` selects the integrator like the driver loop: primary |
-    whitted | path | ao (path re-seeds per frame — a live preview,
-    not an accumulator)."""
+    whitted | path | ao. Path mode renders PROGRESSIVELY (same scheme
+    as the terminal viewer, app/interactive.py): each frame adds
+    ``path_samples`` fresh samples to an on-device linear-radiance
+    accumulator that resets when the camera moves — hold still and the
+    image converges; only the tonemapped u8 preview leaves the device."""
 
     def __init__(self, scene, camera, config: RenderConfig | None = None,
                  move_step: float = 0.15, mode: str = "primary",
@@ -107,14 +110,19 @@ class WebViewer:
         # is one chip anyway)
         self._render_lock = threading.Lock()
         self._pose = np.array(camera.pose, np.float32)
+        self._pose_version = 0
         p = camera.ray_params()
         self._K_inv, self._D = p["K_inv"], p["D"]
         self.frames_rendered = 0
+        self._accum = None       # path mode: device radiance sum
+        self._accum_n = 0        # samples accumulated
+        self._accum_version = -1  # pose version the sum belongs to
 
     # -- input (the kernel.cu mouse/WASD semantics) --------------------
     def on_drag(self, dx: float, dy: float) -> None:
         with self._lock:
             self._pose = orbit(self._pose, dx, dy)
+            self._pose_version += 1
 
     def on_key(self, k: str) -> None:
         step = self.move_step
@@ -126,16 +134,21 @@ class WebViewer:
         if move:
             with self._lock:
                 self._pose = fly(self._pose, **move)
+                self._pose_version += 1
 
     def pose(self) -> np.ndarray:
         with self._lock:
             return self._pose.copy()
 
+    def _pose_state(self):
+        with self._lock:
+            return self._pose.copy(), self._pose_version
+
     # -- rendering ------------------------------------------------------
     def render_frame(self) -> bytes:
         from ..core import transforms as T
 
-        pose = self.pose()
+        pose, version = self._pose_state()
         inv_pose = np.asarray(T.invert_lre(pose))
         with self._render_lock:
             args = (self.config, self.scene, self._K_inv, self._D,
@@ -147,14 +160,25 @@ class WebViewer:
             elif self.mode == "path":
                 import jax
 
-                from ..render.pipeline import render_image_path_traced
+                from ..render.integrators import to_u8, tonemap
+                from ..render.pipeline import render_radiance_path_traced
 
                 key = jax.random.fold_in(
                     jax.random.PRNGKey(0), self.frames_rendered
                 )
-                img = render_image_path_traced(
+                rad = render_radiance_path_traced(
                     *args, key, self.path_bounces, self.path_samples,
                 )
+                if self._accum is None or self._accum_version != version:
+                    self._accum, self._accum_n = rad, 1
+                    self._accum_version = version
+                else:
+                    self._accum = self._accum + rad
+                    self._accum_n += 1
+                img = to_u8(tonemap(
+                    self._accum / self._accum_n,
+                    self.config.tonemap, self.config.exposure,
+                ))
             elif self.mode == "ao":
                 import jax
 
@@ -200,7 +224,8 @@ class WebViewer:
                 elif path == "/pose":
                     body = json.dumps(
                         {"pose": [float(x) for x in viewer.pose()],
-                         "frames": viewer.frames_rendered}
+                         "frames": viewer.frames_rendered,
+                         "spp": viewer._accum_n * viewer.path_samples}
                     ).encode()
                     self._send(200, body, "application/json")
                 else:
