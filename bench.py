@@ -40,6 +40,10 @@ def main():
     import jax
 
     from tpu_raytracer.render import RenderConfig, render_image
+    from tpu_raytracer.utils import enable_compilation_cache
+
+    enable_compilation_cache()  # repeat runs skip the minutes-long
+    # pallas compile (utils/compile_cache.py; TRT_COMPILE_CACHE=0 opts out)
 
     target_mrays = 200.0  # BASELINE.md north star
     arrays, cam = build_bench_scene()

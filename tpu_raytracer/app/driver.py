@@ -330,6 +330,10 @@ def main():
                          "(raycast.cu:224-240); bilinear = smooth "
                          "framework extension")
     args = ap.parse_args()
+    from ..utils import enable_compilation_cache
+
+    enable_compilation_cache()  # repeat app runs skip the minutes-long
+    # TPU compiles (utils/compile_cache.py; TRT_COMPILE_CACHE=0 opts out)
     # (path-mode packet geometry is applied inside run(); an explicit
     # TRT_PIX_H env always wins.)
     plights = tuple(
