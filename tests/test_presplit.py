@@ -120,3 +120,22 @@ def test_presplit_scene_oracle_and_depth_equality():
                                   np.asarray(a_split["hit"]))
     np.testing.assert_array_equal(np.asarray(a_plain["depth"]),
                                   np.asarray(a_split["depth"]))
+
+
+def test_adaptive_default_gate():
+    """The presplit default flips on exactly for meshes whose triangle
+    records ALONE overflow the resident kernel's VMEM budget (those can
+    only route to the HBM-paged kernels, where presplit is a measured
+    +19-32%; PERF_LOG r5). Resident-capable sizes stay presplit-free so
+    ref duplication can never change a scene's routing."""
+    from tpu_raytracer.kernels.traversal import (
+        REC_PER_ROW, TILE_L, VMEM_SCENE_BUDGET,
+    )
+    from tpu_raytracer.scene.mesh import _paged_only_size
+
+    threshold_rows = VMEM_SCENE_BUDGET // (TILE_L * 4)
+    threshold_tris = (threshold_rows - 1) * REC_PER_ROW
+    assert not _paged_only_size(82_000)  # flagship blob: resident
+    assert not _paged_only_size(threshold_tris)
+    assert _paged_only_size(threshold_tris + REC_PER_ROW)
+    assert _paged_only_size(1_316_744)  # the 1.32M paged colonnade

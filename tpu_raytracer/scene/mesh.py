@@ -34,6 +34,20 @@ def _bvh_cache_dir() -> "str":
     )
 
 
+def _paged_only_size(num_tris: int) -> bool:
+    """True when a mesh of this size can ONLY route to the HBM-paged
+    kernels: its packed triangle records alone exceed the resident
+    packet kernel's VMEM scene budget (kernels/traversal.py
+    VMEM_SCENE_BUDGET), before counting a single BVH node row.
+    Deliberately conservative — borderline meshes stay presplit-free
+    so ref duplication can never push a resident-capable scene into
+    the (slower) paged route."""
+    from ..kernels.traversal import REC_PER_ROW, TILE_L, VMEM_SCENE_BUDGET
+
+    tri_rows = -(-num_tris // REC_PER_ROW) + 1
+    return tri_rows * TILE_L * 4 > VMEM_SCENE_BUDGET
+
+
 def _cached_bvh_build(v0, v1, v2, max_depth, min_leaf_size, builder, num):
     import hashlib
     import os
@@ -56,7 +70,19 @@ def _cached_bvh_build(v0, v1, v2, max_depth, min_leaf_size, builder, num):
     # into multiple clipped-box refs before the build
     # (accel/presplit.py). No-op on uniform meshes (area gate); images
     # bit-identical (same triangle records, different node membership).
-    presplit = float(os.environ.get("TRT_BVH_PRESPLIT", "0"))
+    # Adaptive default (PERF_LOG r5): presplit is a measured +19-32%
+    # on beyond-VMEM scenes through the HBM-paged kernels (tighter
+    # boxes -> fewer visible pages -> less DMA) and a ~1% negative on
+    # resident trees (colonnade_path A/B), so it defaults ON exactly
+    # where it wins: meshes whose triangle records ALONE overflow the
+    # resident kernel's VMEM scene budget (those can only route paged,
+    # with or without the ref duplication). Explicit env overrides
+    # both ways (=0 disables everywhere).
+    presplit_env = os.environ.get("TRT_BVH_PRESPLIT")
+    if presplit_env is None:
+        presplit = 1.3 if _paged_only_size(num) else 0.0
+    else:
+        presplit = float(presplit_env)
     presplit_gate = float(os.environ.get("TRT_PRESPLIT_GATE", "16"))
 
     def build():
